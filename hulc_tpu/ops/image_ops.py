@@ -1,0 +1,101 @@
+"""On-device image preprocessing and augmentation (NHWC, TPU-first).
+
+Replaces the reference's per-sample CPU dataloader transform pipeline
+(conf/datamodule/transforms/rand_shift.yaml + hulc/utils/transforms.py:8-30)
+with batched on-device ops that XLA fuses into the encoder's first conv:
+
+  * ``random_shift``: DrQ-v2 random-shift augmentation. The reference
+    implements it as replicate-pad + bilinear grid_sample with *integer*
+    pixel shifts — which is mathematically an integer crop of the padded
+    image. We therefore implement it as a vmapped dynamic_slice: exact same
+    output, no gather/grid_sample, VPU-only.
+  * ``preprocess_rgb``: fused u8 -> [-1, 1] float (scale + normalize
+    mean 0.5 / std 0.5), optional random shift, on the whole (B, S) batch.
+  * ``resize_bilinear``: jax.image.resize wrapper for non-native input sizes
+    (CLIP 224px variant, tactile 70px) matching torchvision semantics closely
+    enough for training (antialias off, align_corners=False-style).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def random_shift(rng: Array, imgs: Array, pad: int) -> Array:
+    """DrQ-v2 random shift: replicate-pad by `pad`, crop at a random integer
+    offset in [0, 2*pad] per image (same shift for H and W drawn separately).
+
+    Args:
+      rng: PRNG key.
+      imgs: (B, H, W, C) float or uint8, H == W.
+      pad: shift padding (10 for 200px static cam, 4 for 84px gripper cam).
+
+    Returns:
+      (B, H, W, C) shifted images, same dtype as input.
+    """
+    b, h, w, c = imgs.shape
+    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    # Reference draws one shift per image for (x, y) jointly: shape (n, 1, 1, 2).
+    shifts = jax.random.randint(rng, (b, 2), 0, 2 * pad + 1)
+
+    def crop(img, s):
+        return jax.lax.dynamic_slice(img, (s[0], s[1], 0), (h, w, c))
+
+    return jax.vmap(crop)(padded, shifts)
+
+
+def preprocess_rgb(
+    imgs: Array,
+    rng: Array | None = None,
+    shift_pad: int = 0,
+    mean: float = 0.5,
+    std: float = 0.5,
+) -> Array:
+    """Fused RGB preprocessing for a (B, S, H, W, C) uint8 batch.
+
+    Order mirrors the reference train pipeline (rand_shift.yaml): random
+    shift on raw pixels (a crop commutes with the pointwise scaling), then
+    scale to [0, 1], then normalize to [-1, 1].
+
+    Args:
+      imgs: (B, S, H, W, C) uint8 (or float already in [0, 255]).
+      rng: PRNG key; if None (eval), no augmentation.
+      shift_pad: random-shift padding; 0 disables the shift.
+
+    Returns:
+      (B, S, H, W, C) float32 normalized images.
+    """
+    b, s, h, w, c = imgs.shape
+    x = imgs.reshape(b * s, h, w, c)
+    if rng is not None and shift_pad > 0:
+        x = random_shift(rng, x, shift_pad)
+    x = x.astype(jnp.float32) * (1.0 / 255.0)
+    return (x - mean) / std  # -> reshape back by caller if needed
+
+
+def preprocess_rgb_seq(
+    imgs: Array,
+    rng: Array | None = None,
+    shift_pad: int = 0,
+    mean: float = 0.5,
+    std: float = 0.5,
+) -> Array:
+    """Like preprocess_rgb but returns (B, S, H, W, C).
+
+    Note: the reference applies ONE shift per sampled window element
+    independently (transforms run per frame on stacked (S, C, H, W)
+    tensors with a per-frame random shift); we keep per-frame shifts by
+    flattening (B, S) into the batch dim.
+    """
+    b, s = imgs.shape[:2]
+    x = preprocess_rgb(imgs, rng, shift_pad, mean, std)
+    return x.reshape((b, s) + x.shape[1:])
+
+
+def resize_bilinear(imgs: Array, height: int, width: int) -> Array:
+    """Bilinear resize for (..., H, W, C) images (torchvision-like)."""
+    out_shape = imgs.shape[:-3] + (height, width, imgs.shape[-1])
+    return jax.image.resize(imgs.astype(jnp.float32), out_shape, method="bilinear")
