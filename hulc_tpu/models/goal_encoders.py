@@ -1,0 +1,37 @@
+"""Goal encoders (reference hulc/models/encoders/goal_encoders.py).
+
+VisualGoalEncoder: MLP on the last-frame perceptual embedding (hindsight
+goal, hulc.py:442). LanguageGoalEncoder: same MLP on the precomputed 384-d
+sentence embedding, with optional word dropout. Both end in LayerNorm.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hulc_tpu.config import GoalEncoderConfig
+from hulc_tpu.models.layers import ACTIVATIONS
+
+Array = jax.Array
+
+
+class GoalEncoder(nn.Module):
+    cfg: GoalEncoderConfig
+    word_dropout: bool = False
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        act = ACTIVATIONS[self.cfg.activation]
+        if self.word_dropout and self.cfg.word_dropout > 0.0:
+            x = nn.Dropout(self.cfg.word_dropout, deterministic=deterministic)(x)
+        x = x.astype(self.dtype)
+        x = act(nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc0")(x))
+        x = act(nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc1")(x))
+        x = nn.Dense(self.cfg.latent_goal_features, dtype=self.dtype, name="fc2")(x)
+        if self.cfg.l2_normalize:
+            x = x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
