@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed story is Lightning DDP over NCCL
+(training.py:65-69). The TPU-native equivalent (SURVEY.md §2.7): one
+``jax.sharding.Mesh`` with the batch sharded over a ``data`` axis; XLA
+inserts the psum gradient reduction over ICI. The model (~47M params) is
+replicated — no tensor/pipeline sharding needed at this scale, but the
+helpers accept any mesh shape so larger variants can add axes.
+
+Multi-host: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``); each host feeds its local shard of the
+global batch via ``host_local_batch_to_global``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim; None-leaves stay None."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
+    """device_put every array leaf with its leading dim sharded over data."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None, **kwargs) -> None:
+    """Multi-host init (DCN). No-op when running single-process."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)

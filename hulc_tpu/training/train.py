@@ -1,0 +1,89 @@
+"""CLI training entry point (reference: python hulc/training.py ...).
+
+Examples:
+  python -m hulc_tpu.training.train --config gcbc_debug --steps 5 --fixture
+  python -m hulc_tpu.training.train --config hulc --data-dir /data/task_D_D \
+      --run-dir runs/hulc_d --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import tempfile
+
+from hulc_tpu.config import get_config
+from hulc_tpu.data.fixtures import make_fixture_dataset
+from hulc_tpu.data.loader import make_loaders
+from hulc_tpu.training.schedules import KLSchedule
+from hulc_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="hulc_tpu trainer")
+    p.add_argument("--config", default="hulc", help="model preset (hulc|mcil|gcbc|*_debug)")
+    p.add_argument("--data-dir", default=None, help="CALVIN dataset root (training/ + validation/)")
+    p.add_argument("--fixture", action="store_true", help="train on a synthetic fixture dataset")
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None, help="hard cap on optimizer steps")
+    p.add_argument("--batch-size", type=int, default=32, help="per-modality batch size")
+    p.add_argument("--min-window", type=int, default=None)
+    p.add_argument("--max-window", type=int, default=None)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr-schedule", default="constant")
+    p.add_argument("--kl-schedule", default="constant", choices=["constant", "linear", "sigmoid"])
+    p.add_argument("--cache", default="ram", choices=["ram", "none"])
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
+    cfg = get_config(args.config, **overrides)
+
+    debug = args.config.endswith("_debug")
+    min_w = args.min_window or (8 if debug else 20)
+    max_w = args.max_window or (8 if debug else 32)
+
+    if args.fixture or args.data_dir is None:
+        root = pathlib.Path(tempfile.mkdtemp(prefix="hulc_fixture_"))
+        make_fixture_dataset(root, num_episodes=2, episode_len=48, small=debug)
+        print(f"[train] using synthetic fixture dataset at {root}")
+    else:
+        root = pathlib.Path(args.data_dir)
+
+    run_dir = args.run_dir or f"runs/{args.config}"
+    tcfg = TrainerConfig(
+        run_dir=run_dir,
+        max_epochs=args.epochs or (1 if args.steps else 100),
+        lr=args.lr,
+        lr_schedule=args.lr_schedule,
+        kl_schedule=KLSchedule(kind=args.kl_schedule),
+        seed=args.seed,
+    )
+    trainer = Trainer(cfg, tcfg)
+    train_loader = make_loaders(
+        cfg, root, "training", args.batch_size, min_w, max_w, cache=args.cache, seed=args.seed
+    )
+    try:
+        val_loader = make_loaders(
+            cfg, root, "validation", args.batch_size, min_w, max_w, cache=args.cache, seed=args.seed + 100
+        )
+    except FileNotFoundError:
+        val_loader = None
+    state = trainer.fit(
+        train_loader,
+        val_loader,
+        max_epochs=tcfg.max_epochs,
+        max_steps=args.steps,
+        resume=not args.no_resume,
+    )
+    print(f"[train] done at step {int(state.step)}; checkpoints in {run_dir}/saved_models")
+    return state
+
+
+if __name__ == "__main__":
+    main()

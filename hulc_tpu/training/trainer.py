@@ -1,0 +1,283 @@
+"""Data-parallel trainer: jitted train/val steps over a device mesh.
+
+Replaces the reference's Lightning Trainer + DDPStrategy stack
+(hulc/training.py): one jitted train step takes the uint8 host batch,
+runs on-device preprocessing + forward + backward + adam update with the
+batch sharded over the ``data`` mesh axis and params replicated — XLA
+inserts the gradient psum over ICI (no NCCL, no gradient-sync hacks).
+
+Features carried over from the reference runtime (SURVEY.md §5):
+  * KL-beta annealing per epoch as a traced scalar (no recompiles);
+  * warmup-step inference for lr schedules (hulc.py:189-237);
+  * per-epoch orbax checkpoints + auto-resume from a fixed run dir;
+  * metric logging (JSONL + stdout; wandb/tensorboard if available).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state as flax_train_state
+
+from hulc_tpu.config import HulcConfig
+from hulc_tpu.models import make_model
+from hulc_tpu.models.hulc import HulcModel, ModalityBatch
+from hulc_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch_tree,
+)
+from hulc_tpu.training import checkpoint as ckpt
+from hulc_tpu.training.preprocess import preprocess_batch
+from hulc_tpu.training.schedules import KLSchedule, make_lr_schedule
+
+Array = jax.Array
+
+
+class TrainState(flax_train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    run_dir: str = "runs/dev"
+    max_epochs: int = 100
+    lr: float = 2e-4
+    lr_schedule: str = "constant"
+    num_warmup_steps: float = 0.1
+    kl_schedule: KLSchedule = dataclasses.field(default_factory=KLSchedule)
+    seed: int = 42
+    log_every: int = 50
+    val_every_epochs: int = 1
+    checkpoint_every_epochs: int = 1
+    num_devices: Optional[int] = None  # None -> all
+    donate_state: bool = True
+
+
+class MetricLogger:
+    """JSONL + stdout metric sink (stands in for wandb/tb loggers)."""
+
+    def __init__(self, run_dir):
+        self.path = pathlib.Path(run_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path, "a")
+
+    def log(self, metrics: Dict[str, Any], step: int, prefix: str = "train") -> None:
+        rec = {"step": step, "prefix": prefix}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+
+class Trainer:
+    def __init__(self, cfg: HulcConfig, tcfg: TrainerConfig):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.model: HulcModel = make_model(cfg)
+        self.mesh = make_mesh(tcfg.num_devices)
+        self.logger = MetricLogger(tcfg.run_dir)
+        self._train_step = None
+        self._val_step = None
+        self.epoch = 0
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+
+    def build_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        num_training_steps = steps_per_epoch * self.tcfg.max_epochs
+        schedule = make_lr_schedule(
+            self.tcfg.lr_schedule, self.tcfg.lr, num_training_steps, self.tcfg.num_warmup_steps
+        )
+        return optax.adam(schedule)
+
+    def init_state(self, example_batch: Dict[str, ModalityBatch], steps_per_epoch: int) -> TrainState:
+        tx = self.build_optimizer(steps_per_epoch)
+        rng = jax.random.key(self.tcfg.seed)
+        prep = preprocess_batch(self.cfg, example_batch, rng=None, train=False)
+
+        def init_fn(rng):
+            init_rng, drop_rng, loss_rng = jax.random.split(rng, 3)
+            variables = self.model.init(
+                {"params": init_rng, "dropout": drop_rng},
+                loss_rng,
+                prep,
+                0.01,
+                method=self.model.train_losses,
+            )
+            return variables["params"]
+
+        params = jax.jit(init_fn, out_shardings=replicated(self.mesh))(rng)
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        return replicate_tree(state, self.mesh)
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def make_train_step(self) -> Callable:
+        cfg, model = self.cfg, self.model
+
+        def train_step(state: TrainState, raw_batch, rng, kl_beta):
+            step_rng = jax.random.fold_in(rng, state.step)
+            k_aug, k_loss, k_drop = jax.random.split(step_rng, 3)
+            batch = preprocess_batch(cfg, raw_batch, rng=k_aug, train=True)
+
+            def loss_fn(params):
+                losses = model.apply(
+                    {"params": params},
+                    k_loss,
+                    batch,
+                    kl_beta,
+                    method=model.train_losses,
+                    rngs={"dropout": k_drop},
+                )
+                return losses["total_loss"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            losses["grad_norm"] = optax.global_norm(grads)
+            return new_state, losses
+
+        donate = (0,) if self.tcfg.donate_state else ()
+        return jax.jit(
+            train_step,
+            in_shardings=(
+                replicated(self.mesh),
+                batch_sharding(self.mesh),
+                replicated(self.mesh),
+                replicated(self.mesh),
+            ),
+            out_shardings=(replicated(self.mesh), replicated(self.mesh)),
+            donate_argnums=donate,
+        )
+
+    def make_val_step(self) -> Callable:
+        cfg, model = self.cfg, self.model
+
+        def val_step(params, raw_batch, rng):
+            batch = preprocess_batch(cfg, raw_batch, rng=None, train=False)
+            metrics = model.apply({"params": params}, rng, batch, method=model.val_metrics)
+            # drop non-scalar outputs (sampled plans) for logging reduction
+            return {k: v for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
+
+        return jax.jit(
+            val_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh), replicated(self.mesh)),
+            out_shardings=replicated(self.mesh),
+        )
+
+    # ------------------------------------------------------------------
+    # Loops
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        max_epochs: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        resume: bool = True,
+    ) -> TrainState:
+        tcfg = self.tcfg
+        steps_per_epoch = len(train_loader)
+        example = next(iter(train_loader))
+        state = self.init_state(example, steps_per_epoch)
+
+        start_epoch = 0
+        if resume:
+            latest = ckpt.latest_checkpoint(tcfg.run_dir)
+            if latest is not None:
+                template = {"params": state.params, "opt_state": state.opt_state, "step": 0}
+                restored = ckpt.restore_checkpoint(latest, template)
+                state = state.replace(
+                    params=restored["params"],
+                    opt_state=restored["opt_state"],
+                    step=restored["step"],
+                )
+                start_epoch = ckpt.checkpoint_epoch(latest) + 1
+                print(f"[trainer] resumed from {latest} (epoch {start_epoch})")
+
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        rng = jax.random.key(tcfg.seed + 1)
+        total_steps = 0
+        max_epochs = tcfg.max_epochs if max_epochs is None else max_epochs
+
+        for epoch in range(start_epoch, max_epochs):
+            self.epoch = epoch
+            kl_beta = jnp.asarray(
+                tcfg.kl_schedule(epoch, self.cfg.loss.kl_beta), jnp.float32
+            )
+            t_epoch = time.time()
+            seqs = 0
+            for i, raw_batch in enumerate(train_loader):
+                raw_batch = shard_batch_tree(raw_batch, self.mesh)
+                state, losses = self._train_step(state, raw_batch, rng, kl_beta)
+                seqs += sum(b.actions.shape[0] for b in raw_batch.values())
+                total_steps += 1
+                if i % tcfg.log_every == 0:
+                    losses = jax.device_get(losses)
+                    self.logger.log(losses, int(state.step), "train")
+                    print(
+                        f"[trainer] epoch {epoch} step {i}/{steps_per_epoch} "
+                        f"loss={float(losses['total_loss']):.4f} "
+                        f"act={float(losses['action_loss']):.4f} "
+                        f"kl={float(losses['kl_loss']):.5f}"
+                    )
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+            dt = time.time() - t_epoch
+            self.logger.log(
+                {"epoch_time_s": dt, "seq_per_sec": seqs / max(dt, 1e-9), "kl_beta": float(kl_beta)},
+                int(state.step),
+                "epoch",
+            )
+
+            if val_loader is not None and (epoch + 1) % tcfg.val_every_epochs == 0:
+                self.validate(state, val_loader, rng)
+            if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == max_epochs - 1:
+                ckpt.save_checkpoint(
+                    tcfg.run_dir,
+                    epoch,
+                    {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                )
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        return state
+
+    def validate(self, state: TrainState, val_loader, rng, max_batches: int = 20) -> Dict[str, float]:
+        if self._val_step is None:
+            self._val_step = self.make_val_step()
+        agg: Dict[str, list] = {}
+        for i, raw_batch in enumerate(val_loader):
+            if i >= max_batches:
+                break
+            raw_batch = shard_batch_tree(raw_batch, self.mesh)
+            metrics = jax.device_get(self._val_step(state.params, raw_batch, jax.random.fold_in(rng, i)))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        mean = {k: float(np.mean(v)) for k, v in agg.items()}
+        self.logger.log(mean, int(state.step), "val")
+        print(
+            "[trainer] val:",
+            {k: round(v, 4) for k, v in mean.items() if "act_loss" in k or "mae" in k or "sr" in k},
+        )
+        return mean

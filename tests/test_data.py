@@ -1,0 +1,140 @@
+"""Data layer: fixture schema, window sampling semantics, batch assembly."""
+
+import numpy as np
+import pytest
+
+from hulc_tpu.config import get_config
+from hulc_tpu.data.dataset import (
+    EpisodeStore,
+    LangWindowSampler,
+    VisionWindowSampler,
+    pad_window,
+)
+from hulc_tpu.data.fixtures import make_fixture_dataset
+from hulc_tpu.data.loader import CombinedLoader, make_loaders
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    return make_fixture_dataset(tmp_path_factory.mktemp("calvin"), num_episodes=2, episode_len=64)
+
+
+def test_fixture_schema(fixture_root):
+    import pathlib
+
+    train = fixture_root / "training"
+    assert (train / "ep_start_end_ids.npy").exists()
+    assert (train / "statistics.yaml").exists()
+    data = np.load(
+        train / "lang_paraphrase-MiniLM-L3-v2" / "auto_lang_ann.npy", allow_pickle=True
+    ).item()
+    assert set(data["language"].keys()) == {"ann", "task", "emb"}
+    assert data["language"]["emb"].shape[1:] == (1, 384)
+    assert len(data["info"]["indx"]) == len(data["language"]["ann"])
+    # validation split has rollout embeddings
+    emb = np.load(
+        fixture_root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy",
+        allow_pickle=True,
+    ).item()
+    assert all("emb" in v and "ann" in v for v in emb.values())
+
+
+def test_episode_store_ram_vs_disk(fixture_root):
+    keys = ("rgb_static", "actions", "robot_obs")
+    ram = EpisodeStore(fixture_root / "training", keys=keys, cache="ram")
+    disk = EpisodeStore(fixture_root / "training", keys=keys, cache="none")
+    w1 = ram.get_window(5, 10)
+    w2 = disk.get_window(5, 10)
+    for k in keys:
+        np.testing.assert_array_equal(w1[k], w2[k])
+    assert w1["rgb_static"].shape == (10, 64, 64, 3)
+    assert ram.num_frames == 128
+
+
+def test_vision_sampler_bounds(fixture_root):
+    store = EpisodeStore(fixture_root / "training", keys=("actions",), cache="none")
+    sampler = VisionWindowSampler(store.episode_ranges, min_window=20, max_window=32, seed=0)
+    ranges = {a: b for a, b in store.episode_ranges}
+    for _ in range(200):
+        s = sampler.sample()
+        assert 20 <= s.length <= 32
+        # window must stay inside one episode
+        ep = [r for r in store.episode_ranges if r[0] <= s.start <= r[1]]
+        assert len(ep) == 1
+        assert s.start + s.length - 1 <= ep[0][1]
+
+
+def test_lang_sampler_aux_mask_semantics(fixture_root):
+    sampler = LangWindowSampler(
+        fixture_root / "training", min_window=20, max_window=32, aux_lang_loss_window=8, seed=0
+    )
+    assert len(sampler) > 0
+    saw_true = saw_false = False
+    for _ in range(300):
+        s = sampler.sample()
+        a, b = sampler.ranges[s.lang_idx]
+        assert a <= s.start and s.start + s.length - 1 <= b
+        expected = (b + 1 - (s.start + s.length)) < 8
+        assert s.use_for_aux_lang_loss == expected
+        saw_true |= expected
+        saw_false |= not expected
+    assert saw_true and saw_false
+
+
+def test_pad_window_semantics():
+    w = {
+        "rgb_static": np.arange(3 * 2 * 2 * 3, dtype=np.uint8).reshape(3, 2, 2, 3),
+        "rel_actions": np.asarray(
+            [[0.5, 0.5, 0.5, 0.1, 0.1, 0.1, -1.0]] * 3, np.float32
+        ),
+        "actions": np.asarray([[0.2] * 7] * 3, np.float32),
+    }
+    out = pad_window(w, 5)
+    assert out["rgb_static"].shape[0] == 5
+    np.testing.assert_array_equal(out["rgb_static"][3], w["rgb_static"][2])  # repeat last
+    np.testing.assert_array_equal(out["actions"][4], w["actions"][2])
+    # rel_actions: zero motion, keep gripper
+    np.testing.assert_array_equal(out["rel_actions"][4, :6], np.zeros(6))
+    assert out["rel_actions"][4, 6] == -1.0
+
+
+def test_combined_loader_batches(fixture_root):
+    cfg = get_config("hulc_debug")
+    loader = make_loaders(cfg, fixture_root, batch_size=4, cache="none")
+    batch = next(iter(loader))
+    assert set(batch.keys()) == {"vis", "lang"}
+    vis, lang = batch["vis"], batch["lang"]
+    assert vis.rgb_static.shape == (4, 32, 64, 64, 3) and vis.rgb_static.dtype == np.uint8
+    assert vis.rgb_gripper.shape == (4, 32, 48, 48, 3)
+    assert vis.robot_obs.shape == (4, 32, 8)
+    assert vis.actions.shape == (4, 32, 7)
+    assert vis.state_info_robot_obs.shape == (4, 32, 15)
+    assert vis.lang is None
+    assert lang.lang.shape == (4, 384)
+    assert lang.use_for_aux_lang_loss.shape == (4,)
+    assert len(loader) >= 1
+
+
+def test_loader_feeds_model(fixture_root):
+    """End-to-end: fixture data -> loader -> preprocessing -> train_losses."""
+    import jax
+
+    from hulc_tpu.models import init_params, make_model
+    from hulc_tpu.training.preprocess import preprocess_batch
+
+    cfg = get_config("hulc_debug")
+    model = make_model(cfg)
+    # debug preset sizes its position table for 8-frame windows
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+    raw = next(iter(loader))
+    batch = preprocess_batch(cfg, raw, rng=jax.random.key(0), train=True)
+    params = init_params(model, jax.random.key(0), batch)
+    losses = model.apply(
+        {"params": params},
+        jax.random.key(1),
+        batch,
+        0.01,
+        method=model.train_losses,
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.isfinite(float(losses["total_loss"]))

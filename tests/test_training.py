@@ -1,0 +1,88 @@
+"""Trainer: jitted sharded train step, checkpoint resume, schedules, and the
+8-virtual-device data-parallel mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hulc_tpu.config import get_config
+from hulc_tpu.data.fixtures import make_fixture_dataset
+from hulc_tpu.data.loader import make_loaders
+from hulc_tpu.training import checkpoint as ckpt
+from hulc_tpu.training.schedules import KLSchedule, make_lr_schedule
+from hulc_tpu.training.trainer import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    return make_fixture_dataset(tmp_path_factory.mktemp("calvin_t"), num_episodes=2, episode_len=48)
+
+
+def test_kl_schedules():
+    const = KLSchedule("constant")
+    assert const(0, 0.01) == 0.01 and const(99, 0.01) == 0.01
+    lin = KLSchedule("linear", start_epoch=10, end_epoch=20, max_kl_beta=0.1)
+    assert lin(5, 0.01) == 0.0
+    assert abs(lin(15, 0.01) - 0.05) < 1e-9
+    assert lin(25, 0.01) == 0.1
+    sig = KLSchedule("sigmoid", start_epoch=10, end_epoch=20, max_kl_beta=0.1)
+    assert sig(9, 0.01) == 0.0 and sig(21, 0.01) == 0.1
+    assert 0.04 < sig(15, 0.01) < 0.06
+
+
+def test_lr_schedules():
+    s = make_lr_schedule("constant", 1e-3)
+    assert float(s(0)) == 1e-3 and float(s(10_000)) == 1e-3
+    c = make_lr_schedule("cosine_with_warmup", 1e-3, num_training_steps=100, num_warmup_steps=0.1)
+    assert float(c(0)) < 1e-4  # warming up
+    assert abs(float(c(10)) - 1e-3) < 1e-6  # peak after 10% warmup
+    assert float(c(100)) < 1e-4  # decayed
+
+
+def test_fit_and_resume(fixture_root, tmp_path):
+    cfg = get_config("gcbc_debug")
+    run_dir = tmp_path / "run"
+    tcfg = TrainerConfig(
+        run_dir=str(run_dir), max_epochs=1, log_every=1000, donate_state=False, num_devices=2
+    )
+    trainer = Trainer(cfg, tcfg)
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+    state = trainer.fit(loader, None, max_epochs=1, max_steps=2, resume=False)
+    assert int(state.step) == 2
+    assert ckpt.latest_checkpoint(run_dir) is not None
+
+    # resume continues the step counter
+    trainer2 = Trainer(cfg, tcfg)
+    state2 = trainer2.fit(loader, None, max_epochs=2, max_steps=1, resume=True)
+    assert int(state2.step) == 3
+
+
+def test_multidevice_data_parallel():
+    """Full train step over the 8-virtual-device mesh; loss finite and the
+    step must match a single-device run of the same global batch."""
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    pe = cfg.perceptual_encoder
+    raw = _make_raw_batch(cfg, 8, 8, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
+
+    def run(n_dev):
+        tcfg = TrainerConfig(run_dir="/tmp/na", num_devices=n_dev, donate_state=False)
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state(raw, steps_per_epoch=1)
+        step = tr.make_train_step()
+        sharded = shard_batch_tree(raw, tr.mesh)
+        state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
+        return float(losses["total_loss"]), state
+
+    loss8, state8 = run(8)
+    loss1, state1 = run(1)
+    assert np.isfinite(loss8)
+    # data-parallel math must equal single-device math on the same batch
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-4)
+    p8 = jax.tree.leaves(state8.params)[0]
+    p1 = jax.tree.leaves(state1.params)[0]
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-5)
