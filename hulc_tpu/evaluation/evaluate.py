@@ -1,0 +1,123 @@
+"""Evaluation CLI (reference: hulc/evaluation/evaluate_policy.py).
+
+Checkpoint selection over a training run dir (last / all / specific epochs),
+policy reconstruction, LH-MTLC protocol, results.json output.
+
+By default drives the in-process FakeCalvinEnv (CI/smoke). For the real
+CALVIN simulator, pass --env-factory pointing at a
+"module:function" returning (env, oracle) with the env contract of
+hulc_tpu.evaluation.fake_env and a calvin_env-compatible Tasks oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import pathlib
+
+import numpy as np
+
+
+def _load_env_factory(spec):
+    mod_name, fn_name = spec.split(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="hulc_tpu LH-MTLC evaluation")
+    p.add_argument("--run-dir", required=True, help="training run dir with saved_models/")
+    p.add_argument("--config", default="hulc")
+    p.add_argument("--checkpoint", default="last", help="last | all | comma-separated epochs")
+    p.add_argument("--num-sequences", type=int, default=1000)
+    p.add_argument("--ep-len", type=int, default=360)
+    p.add_argument("--dataset-dir", default=None, help="for statistics + lang embeddings")
+    p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
+    p.add_argument("--env-factory", default=None, help="module:function -> (env, oracle)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from hulc_tpu.config import get_config
+    from hulc_tpu.data.dataset import DatasetStatistics
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.lh_eval import evaluate_policy
+    from hulc_tpu.evaluation.policy import HulcPolicy
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+    from hulc_tpu.models import example_batch, init_params, make_model
+    from hulc_tpu.training import checkpoint as ckpt
+
+    cfg = get_config(args.config)
+    run_dir = pathlib.Path(args.run_dir)
+
+    if args.checkpoint == "last":
+        paths = [ckpt.latest_checkpoint(run_dir)]
+    elif args.checkpoint == "all":
+        paths = ckpt.all_checkpoints(run_dir)
+    else:
+        wanted = {int(e) for e in args.checkpoint.split(",")}
+        paths = [p_ for p_ in ckpt.all_checkpoints(run_dir) if ckpt.checkpoint_epoch(p_) in wanted]
+    paths = [p_ for p_ in paths if p_ is not None]
+    if not paths:
+        raise SystemExit(f"no checkpoints found in {run_dir}/saved_models")
+
+    # template params from a fresh init (shapes only)
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    template = init_params(model, jax.random.key(0), batch)
+
+    stats = None
+    lang_embeddings = None
+    if args.dataset_dir:
+        val_dir = pathlib.Path(args.dataset_dir) / "validation"
+        stats = DatasetStatistics.load(val_dir)
+        emb_path = val_dir / args.lang_folder / "embeddings.npy"
+        if emb_path.exists():
+            raw = np.load(emb_path, allow_pickle=True).item()
+            lang_embeddings = {k: np.asarray(v["emb"]).reshape(-1) for k, v in raw.items()}
+
+    if args.env_factory:
+        env, oracle = _load_env_factory(args.env_factory)()
+    else:
+        env, oracle = FakeCalvinEnv(), SceneObsTasks()
+
+    # restrict chains to tasks we hold language embeddings for
+    from hulc_tpu.evaluation.lh_eval import get_sequences
+    from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+    task_pool = sorted(set(ALL_TASKS) & set(lang_embeddings or ALL_TASKS))
+    if len(task_pool) < 5:
+        task_pool = sorted(lang_embeddings) if lang_embeddings else list(ALL_TASKS)
+    sequences = get_sequences(args.num_sequences, tasks=task_pool, seed=args.seed)
+
+    out_dir = run_dir / "evaluation"
+    for path in paths:
+        epoch = ckpt.checkpoint_epoch(path)
+        params = ckpt.restore_params(path, template)
+        policy = HulcPolicy(cfg, params, statistics=stats, seed=args.seed)
+        if lang_embeddings:
+            policy.lang_embeddings = lang_embeddings
+        else:
+            policy.lang_embeddings = {t: np.zeros(384, np.float32) for t in task_pool}
+        results = evaluate_policy(
+            policy,
+            env,
+            epoch=epoch,
+            num_sequences=args.num_sequences,
+            ep_len=args.ep_len,
+            oracle=oracle,
+            sequences=sequences,
+            output_dir=out_dir,
+            seed=args.seed,
+        )
+        r = results[str(epoch)]
+        print(
+            f"[eval] epoch {epoch}: avg_seq_len={r['avg_seq_len']:.3f} "
+            f"chain_sr={[round(v, 3) for v in r['chain_sr'].values()]}"
+        )
+    print(f"[eval] results written to {out_dir}/results.json")
+
+
+if __name__ == "__main__":
+    main()

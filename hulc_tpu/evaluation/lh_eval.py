@@ -1,0 +1,129 @@
+"""Long-horizon multi-task language-control (LH-MTLC) evaluation.
+
+Reference protocol (SURVEY.md §3.2, external calvin_agent.evaluation):
+1000 chains of 5 language instructions; for each instruction the policy gets
+``ep_len`` (360) env steps, replanning every 30; success judged by the task
+oracle from env info diffs; a failed instruction aborts the chain. Results
+are written as ``evaluation/results.json`` in the exact schema
+``{epoch: {"avg_seq_len": f, "chain_sr": {"1".."5": f}, "task_sr": {...}}}``
+consumed by the reference's create_plots.py:140-210.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import pathlib
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hulc_tpu.evaluation.tasks import ALL_TASKS, SceneObsTasks
+
+DEFAULT_EP_LEN = 360
+DEFAULT_NUM_SEQUENCES = 1000
+CHAIN_LEN = 5
+
+
+def get_sequences(
+    num_sequences: int,
+    tasks: Sequence[str] = tuple(ALL_TASKS),
+    seed: int = 0,
+    chain_len: int = CHAIN_LEN,
+) -> List[List[str]]:
+    """Sample task chains (stand-in for calvin_agent multistep_sequences,
+    which filters by scene-state feasibility; plug a custom sampler for
+    exact-protocol runs with the real env)."""
+    rng = np.random.default_rng(seed)
+    chains = []
+    for _ in range(num_sequences):
+        chains.append(list(rng.choice(list(tasks), size=chain_len, replace=False)))
+    return chains
+
+
+def rollout(
+    env,
+    policy,
+    task: str,
+    instruction,
+    oracle,
+    ep_len: int = DEFAULT_EP_LEN,
+) -> bool:
+    """Run one instruction to success or timeout (reference evaluate_policy
+    rollout: model.reset() per subtask, oracle diff vs subtask start)."""
+    policy.reset()
+    start_info = env.get_info()
+    obs = env.get_obs()
+    for _ in range(ep_len):
+        action = policy.step(obs, instruction)
+        obs = env.step(action)
+        done = oracle.get_task_info_for_set(start_info, env.get_info(), {task})
+        if task in done:
+            return True
+    return False
+
+
+def evaluate_policy(
+    policy,
+    env,
+    epoch: int = 0,
+    num_sequences: int = DEFAULT_NUM_SEQUENCES,
+    ep_len: int = DEFAULT_EP_LEN,
+    oracle: Optional[SceneObsTasks] = None,
+    sequences: Optional[List[List[str]]] = None,
+    instructions: Optional[Dict[str, str]] = None,
+    initial_states: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
+    output_dir: Optional[pathlib.Path] = None,
+    seed: int = 0,
+) -> Dict:
+    """Run the LH-MTLC protocol; returns the per-epoch results dict.
+
+    instructions: task -> natural-language instruction (or embedding) passed
+    to the policy; defaults to the task name (policies with loaded lang
+    embeddings resolve instruction strings).
+    """
+    oracle = oracle or SceneObsTasks()
+    sequences = sequences if sequences is not None else get_sequences(num_sequences, seed=seed)
+    chain_successes = np.zeros(CHAIN_LEN, np.int64)
+    task_attempts: Dict[str, int] = collections.defaultdict(int)
+    task_successes: Dict[str, int] = collections.defaultdict(int)
+    seq_lens = []
+
+    for i, chain in enumerate(sequences):
+        if initial_states is not None:
+            robot_obs, scene_obs = initial_states[i % len(initial_states)]
+            env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
+        else:
+            env.reset()
+        done_count = 0
+        for task in chain:
+            instruction = (instructions or {}).get(task, task)
+            task_attempts[task] += 1
+            if rollout(env, policy, task, instruction, oracle, ep_len):
+                task_successes[task] += 1
+                done_count += 1
+            else:
+                break
+        for k in range(done_count):
+            chain_successes[k] += 1
+        seq_lens.append(done_count)
+
+    n = len(sequences)
+    results = {
+        str(epoch): {
+            "avg_seq_len": float(np.mean(seq_lens)),
+            "chain_sr": {str(k + 1): float(chain_successes[k] / n) for k in range(CHAIN_LEN)},
+            "task_sr": {
+                t: float(task_successes[t] / task_attempts[t]) for t in sorted(task_attempts)
+            },
+        }
+    }
+
+    if output_dir is not None:
+        output_dir = pathlib.Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        path = output_dir / "results.json"
+        existing = json.loads(path.read_text()) if path.exists() else {}
+        existing.update(results)
+        path.write_text(json.dumps(existing, indent=2))
+    return results

@@ -1,0 +1,64 @@
+"""Training-time rollout evaluation callback.
+
+Reference: calvin_agent.rollout.rollout_long_horizon.RolloutLongHorizon
+(conf/callbacks/rollout_lh/default.yaml — 128 chains every val epoch,
+skip_epochs 1, ep_len 360), which logs ``eval_lh/avg_seq_len`` — the metric
+the best-checkpoint monitor tracks (conf/callbacks/checkpoint/lh_sr.yaml).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from hulc_tpu.evaluation.lh_eval import evaluate_policy, get_sequences
+from hulc_tpu.evaluation.policy import HulcPolicy
+from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+
+class RolloutLongHorizonCallback:
+    def __init__(
+        self,
+        env,
+        oracle=None,
+        num_sequences: int = 128,
+        ep_len: int = 360,
+        rollout_freq: int = 1,
+        skip_epochs: int = 1,
+        instructions: Optional[Dict[str, str]] = None,
+        lang_embeddings: Optional[Dict] = None,
+        seed: int = 0,
+    ):
+        self.env = env
+        self.oracle = oracle or SceneObsTasks()
+        self.num_sequences = num_sequences
+        self.ep_len = ep_len
+        self.rollout_freq = rollout_freq
+        self.skip_epochs = skip_epochs
+        self.instructions = instructions
+        self.lang_embeddings = lang_embeddings
+        self.seed = seed
+        self.best_avg_seq_len = -1.0
+
+    def on_epoch_end(self, trainer, state, epoch: int) -> Optional[Dict[str, float]]:
+        if epoch < self.skip_epochs or (epoch - self.skip_epochs) % self.rollout_freq != 0:
+            return None
+        policy = HulcPolicy(trainer.cfg, state.params, seed=self.seed)
+        if self.lang_embeddings:
+            policy.lang_embeddings = self.lang_embeddings
+        results = evaluate_policy(
+            policy,
+            self.env,
+            epoch=epoch,
+            num_sequences=self.num_sequences,
+            ep_len=self.ep_len,
+            oracle=self.oracle,
+            instructions=self.instructions,
+            seed=self.seed + epoch,
+        )
+        r = results[str(epoch)]
+        metrics = {"eval_lh/avg_seq_len": r["avg_seq_len"]}
+        metrics.update({f"eval_lh/chain_sr_{k}": v for k, v in r["chain_sr"].items()})
+        self.best_avg_seq_len = max(self.best_avg_seq_len, r["avg_seq_len"])
+        trainer.logger.log(metrics, int(state.step), "rollout")
+        print(f"[rollout] epoch {epoch}: avg_seq_len={r['avg_seq_len']:.3f}")
+        return metrics

@@ -38,6 +38,22 @@ def restore_checkpoint(path, template: Dict[str, Any]) -> Dict[str, Any]:
         return restorer.restore(pathlib.Path(path).absolute(), template)
 
 
+def restore_params(path, params_template) -> Any:
+    """Restore only the params subtree (evaluation does not need opt_state)."""
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as restorer:
+        restored = restorer.restore(pathlib.Path(path).absolute())
+    import jax
+
+    flat_template, treedef = jax.tree_util.tree_flatten(params_template)
+    flat_restored = jax.tree_util.tree_leaves(restored["params"])
+    if len(flat_template) != len(flat_restored):
+        raise ValueError(
+            f"checkpoint params leaves ({len(flat_restored)}) do not match "
+            f"template ({len(flat_template)})"
+        )
+    return jax.tree_util.tree_unflatten(treedef, flat_restored)
+
+
 def all_checkpoints(run_dir) -> List[pathlib.Path]:
     d = _ckpt_dir(run_dir)
     if not d.exists():

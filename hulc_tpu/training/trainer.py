@@ -195,6 +195,7 @@ class Trainer:
         max_epochs: Optional[int] = None,
         max_steps: Optional[int] = None,
         resume: bool = True,
+        callbacks: Optional[list] = None,
     ) -> TrainState:
         tcfg = self.tcfg
         steps_per_epoch = len(train_loader)
@@ -253,6 +254,8 @@ class Trainer:
 
             if val_loader is not None and (epoch + 1) % tcfg.val_every_epochs == 0:
                 self.validate(state, val_loader, rng)
+            for cb in callbacks or ():
+                cb.on_epoch_end(self, state, epoch)
             if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == max_epochs - 1:
                 ckpt.save_checkpoint(
                     tcfg.run_dir,

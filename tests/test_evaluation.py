@@ -1,0 +1,166 @@
+"""Evaluation subsystem: tasks oracle, fake env, jitted policy, LH protocol."""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from hulc_tpu.config import get_config
+from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+from hulc_tpu.evaluation.lh_eval import evaluate_policy, get_sequences, rollout
+from hulc_tpu.evaluation.policy import HulcPolicy
+from hulc_tpu.evaluation.tasks import ALL_TASKS, SceneObsTasks
+from hulc_tpu.models import example_batch, init_params, make_model
+
+
+def _info(scene):
+    return {"scene_obs": np.asarray(scene, np.float64)}
+
+
+def test_all_34_tasks_present():
+    assert len(ALL_TASKS) == 34
+
+
+def test_door_and_light_tasks():
+    oracle = SceneObsTasks()
+    s = np.zeros(24)
+    e = np.zeros(24)
+    e[0] = 0.2  # slider moved +
+    e[1] = 0.15  # drawer opened
+    e[4] = 1.0  # lightbulb on
+    done = oracle.get_task_info(_info(s), _info(e))
+    assert {"move_slider_left", "open_drawer", "turn_on_lightbulb"} <= done
+    assert "move_slider_right" not in done and "close_drawer" not in done
+    # reverse
+    done2 = oracle.get_task_info(_info(e), _info(s))
+    assert {"move_slider_right", "close_drawer", "turn_off_lightbulb"} <= done2
+
+
+def test_rotate_and_push_tasks():
+    oracle = SceneObsTasks()
+    s = np.zeros(24)
+    s[6:9] = [0.0, 0.0, 0.46]  # red block on table
+    e = s.copy()
+    e[11] = -np.deg2rad(80)  # rotate right (negative z)
+    done = oracle.get_task_info(_info(s), _info(e))
+    assert "rotate_red_block_right" in done and "rotate_red_block_left" not in done
+
+    e2 = s.copy()
+    e2[6] += 0.15  # pushed right
+    done2 = oracle.get_task_info(_info(s), _info(e2))
+    assert "push_red_block_right" in done2 and "push_red_block_left" not in done2
+
+
+def test_lift_task_with_contacts():
+    oracle = SceneObsTasks()
+    s = np.zeros(24)
+    s[12:15] = [0.1, 0.1, 0.46]  # blue block
+    e = s.copy()
+    e[14] += 0.1  # lifted 10cm
+    start = {"scene_obs": s, "block_contacts": {"block_blue": ["table"]}}
+    end = {"scene_obs": e, "block_contacts": {"block_blue": ["gripper"]}}
+    done = oracle.get_task_info(start, end)
+    assert "lift_blue_block_table" in done
+    assert "lift_blue_block_drawer" not in done
+
+
+def test_stack_task():
+    oracle = SceneObsTasks()
+    s = np.zeros(24)
+    s[6:9] = [0.0, 0.0, 0.46]
+    s[12:15] = [0.2, 0.0, 0.46]
+    e = s.copy()
+    e[12:15] = [0.0, 0.0, 0.51]  # blue on red
+    assert "stack_block" in oracle.get_task_info(_info(s), _info(e))
+    assert "unstack_block" in oracle.get_task_info(_info(e), _info(s))
+
+
+def test_fake_env_contract():
+    env = FakeCalvinEnv()
+    obs = env.reset()
+    assert obs["rgb_obs"]["rgb_static"].shape == (64, 64, 3)
+    assert obs["robot_obs"].shape == (15,)
+    obs2 = env.step(np.asarray([1, 0, 0, 0, 0, 0, 1.0]))
+    assert obs2["robot_obs"][0] > obs["robot_obs"][0]
+    assert "scene_obs" in env.get_info()
+
+
+@pytest.fixture(scope="module")
+def debug_policy():
+    cfg = get_config("gcbc_debug")
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    lang_embeddings = {t: np.random.default_rng(1).normal(size=384).astype(np.float32) for t in ALL_TASKS}
+    return HulcPolicy(cfg, params, lang_embeddings=lang_embeddings)
+
+
+def test_policy_step_api(debug_policy):
+    env = FakeCalvinEnv()
+    obs = env.reset()
+    debug_policy.reset()
+    a1 = debug_policy.step(obs, "open_drawer")
+    assert a1.shape == (7,)
+    assert np.isfinite(a1).all()
+    assert a1[-1] in (-1.0, 1.0)
+    # subsequent steps reuse plan + carry
+    a2 = debug_policy.step(env.step(a1), "open_drawer")
+    assert a2.shape == (7,)
+
+
+def test_policy_visual_goal(debug_policy):
+    env = FakeCalvinEnv()
+    obs = env.reset()
+    goal_obs = env.get_obs()
+    debug_policy.reset()
+    a = debug_policy.step(obs, goal_obs)
+    assert a.shape == (7,) and np.isfinite(a).all()
+
+
+def test_rollout_scripted_success(debug_policy):
+    """Scripted env: drawer opens over time -> rollout must report success."""
+    env = FakeCalvinEnv()
+    env.reset()
+    env.script_scene(lambda e, t: e.scene_obs.__setitem__(1, min(0.2, 0.01 * (t + 1))))
+    oracle = SceneObsTasks()
+    ok = rollout(env, debug_policy, "open_drawer", "open_drawer", oracle, ep_len=40)
+    assert ok
+    # and an impossible task fails
+    env.reset()
+    env.script_scene(None.__class__ and (lambda e, t: None))
+    ok2 = rollout(env, debug_policy, "turn_on_lightbulb", "turn_on_lightbulb", oracle, ep_len=5)
+    assert not ok2
+
+
+def test_evaluate_policy_results_schema(tmp_path, debug_policy):
+    env = FakeCalvinEnv()
+    # scripted: drawer + slider always move -> those tasks succeed
+    env.script_scene(
+        lambda e, t: (
+            e.scene_obs.__setitem__(1, min(0.2, 0.02 * (t + 1))),
+            e.scene_obs.__setitem__(0, min(0.3, 0.02 * (t + 1))),
+        )
+    )
+    sequences = [["open_drawer", "move_slider_left", "turn_on_lightbulb", "close_drawer", "turn_on_led"]] * 2
+    results = evaluate_policy(
+        debug_policy, env, epoch=7, sequences=sequences, ep_len=15, output_dir=tmp_path
+    )
+    r = results["7"]
+    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr"}
+    assert set(r["chain_sr"].keys()) == {"1", "2", "3", "4", "5"}
+    # first two chain positions succeed (scripted), third (lightbulb) fails
+    assert r["chain_sr"]["1"] == 1.0 and r["chain_sr"]["2"] == 1.0
+    assert r["chain_sr"]["3"] == 0.0
+    assert r["avg_seq_len"] == 2.0
+    assert r["task_sr"]["open_drawer"] == 1.0
+    # results.json written and merge-updating
+    on_disk = json.loads((tmp_path / "results.json").read_text())
+    assert "7" in on_disk
+
+
+def test_get_sequences_deterministic():
+    a = get_sequences(5, seed=3)
+    b = get_sequences(5, seed=3)
+    assert a == b
+    assert all(len(c) == 5 and len(set(c)) == 5 for c in a)
