@@ -34,4 +34,4 @@ class GoalEncoder(nn.Module):
         x = nn.Dense(self.cfg.latent_goal_features, dtype=self.dtype, name="fc2")(x)
         if self.cfg.l2_normalize:
             x = x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)

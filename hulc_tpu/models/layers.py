@@ -72,14 +72,14 @@ class TransformerEncoderLayer(nn.Module):
             name="self_attn",
         )(x, x)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
 
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         ff = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(ff)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         return x
 
 
@@ -104,7 +104,7 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(x, deterministic=deterministic)
         if self.final_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_norm")(x)
         return x
 
 

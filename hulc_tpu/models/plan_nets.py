@@ -93,7 +93,7 @@ class PlanRecognitionTransformer(nn.Module):
         else:
             x = x + sinusoidal_position_encoding(s, d_model)[None]
         if self.cfg.positional_normalize:
-            x = nn.LayerNorm(dtype=jnp.float32, name="positional_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="positional_norm")(x)
         x = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(x)
         x = TransformerEncoder(
             num_layers=self.cfg.num_layers,

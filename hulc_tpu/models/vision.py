@@ -79,7 +79,7 @@ class VisionNetworkStatic(nn.Module):
         x = nn.Dense(self.cfg.visual_features, dtype=self.dtype, name="fc2")(x)
         if self.cfg.l2_normalize_output:
             x = x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
 
 
 class NatureCNN(nn.Module):
@@ -103,7 +103,7 @@ class NatureCNN(nn.Module):
         x = nn.Dense(self.cfg.visual_features, dtype=self.dtype, name="fc2")(x)
         if self.cfg.l2_normalize_output:
             x = x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x)
 
 
 def make_vision_encoder(cfg: VisionEncoderConfig, dtype, name: str):
