@@ -27,14 +27,15 @@ def preprocess_modality(
     k_static = k_gripper = None
     if train and rng is not None:
         k_static, k_gripper = jax.random.split(rng)
+    dtype = cfg.dtype
     updates = {
         "rgb_static": preprocess_rgb_seq(
-            batch.rgb_static, k_static, pe.rgb_static.shift_pad if train else 0
+            batch.rgb_static, k_static, pe.rgb_static.shift_pad if train else 0, out_dtype=dtype
         )
     }
     if batch.rgb_gripper is not None and pe.rgb_gripper is not None:
         updates["rgb_gripper"] = preprocess_rgb_seq(
-            batch.rgb_gripper, k_gripper, pe.rgb_gripper.shift_pad if train else 0
+            batch.rgb_gripper, k_gripper, pe.rgb_gripper.shift_pad if train else 0, out_dtype=dtype
         )
     return batch._replace(**updates)
 
