@@ -30,7 +30,7 @@ class VisionEncoderConfig:
         vision_network_gripper.py nature_cnn).
     """
 
-    kind: str = "spatial_softmax"
+    kind: str = "spatial_softmax"  # | "nature_cnn" | "clip" | "tactile"
     input_size: int = 200
     num_channels: int = 3
     visual_features: int = 64
@@ -40,6 +40,7 @@ class VisionEncoderConfig:
     spatial_softmax_temp: Optional[float] = 1.0  # None -> learnable
     activation: str = "relu"
     shift_pad: int = 10  # random-shift augmentation padding (train only)
+    clip_model: str = "RN50"  # kind == "clip": "RN50" | "ViT-B/32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,10 +287,72 @@ def _debug(cfg: HulcConfig) -> HulcConfig:
     return cfg.resolve()
 
 
+def hulc_clip_vision_config(**overrides) -> HulcConfig:
+    """Frozen-CLIP static camera (conf/model/perceptual_encoder/rgb_static/clip.yaml)."""
+    base = HulcConfig(
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=VisionEncoderConfig(kind="clip", input_size=224, clip_model="RN50"),
+            rgb_gripper=VisionEncoderConfig(kind="nature_cnn", input_size=84, shift_pad=4),
+        ),
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
+def hulc_clip_lang_config(**overrides) -> HulcConfig:
+    """CLIP text-encoder language path (conf/model/sbert/clip_lang.yaml):
+    language embeddings are 1024-d CLIP RN50 features."""
+    base = HulcConfig(
+        language_goal=GoalEncoderConfig(in_features=1024),
+        lang_dim=1024,
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
+def hulc_depth_config(**overrides) -> HulcConfig:
+    """RGB-D variant (conf/datamodule/observation_space/lang_rgbd_*)."""
+    base = HulcConfig(
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=VisionEncoderConfig(),
+            rgb_gripper=VisionEncoderConfig(kind="nature_cnn", input_size=84, shift_pad=4),
+            depth_static=VisionEncoderConfig(num_channels=1, shift_pad=0),
+            depth_gripper=VisionEncoderConfig(
+                kind="nature_cnn", input_size=84, num_channels=1, shift_pad=0
+            ),
+        ),
+        # latent layout changes: decoder consumes the gripper-cam slice
+        action_decoder=ActionDecoderConfig(perceptual_emb_slice=(128, 192)),
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
+def hulc_tactile_config(**overrides) -> HulcConfig:
+    """Tactile variant (conf/.../lang_rgb_static_tactile_abs_act.yaml)."""
+    base = HulcConfig(
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=VisionEncoderConfig(),
+            rgb_gripper=None,
+            tactile=VisionEncoderConfig(kind="tactile", input_size=64, num_channels=6),
+        ),
+        action_decoder=ActionDecoderConfig(perceptual_emb_slice=None, gripper_control=False),
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
+def hulc_deterministic_config(**overrides) -> HulcConfig:
+    """Deterministic-decoder ablation (conf/model/action_decoder/deterministic.yaml)."""
+    base = HulcConfig(action_decoder=ActionDecoderConfig(kind="deterministic"))
+    return dataclasses.replace(base, **overrides).resolve()
+
+
 CONFIGS: Dict[str, Callable[[], HulcConfig]] = {
     "hulc": hulc_config,
     "mcil": mcil_config,
     "gcbc": gcbc_config,
+    "hulc_clip_vision": hulc_clip_vision_config,
+    "hulc_clip_lang": hulc_clip_lang_config,
+    "hulc_depth": hulc_depth_config,
+    "hulc_tactile": hulc_tactile_config,
+    "hulc_deterministic": hulc_deterministic_config,
     "hulc_debug": lambda: _debug(hulc_config()),
     "mcil_debug": lambda: _debug(mcil_config()),
     "gcbc_debug": lambda: _debug(gcbc_config()),

@@ -1,0 +1,75 @@
+"""Tactile encoder: ResNet18 feature extractor on 6-channel tactile images.
+
+Reference behavior: hulc/models/perceptual_encoders/tactile_encoder.py —
+a torchvision ResNet18 with the fc removed, frozen, on stacked 2x3-channel
+tactile frames, followed by a trainable FC to visual_features. Without
+torchvision in this environment the backbone is a from-scratch flax ResNet18
+(standard architecture); ImageNet weights can be grafted via a converter if
+provided locally.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hulc_tpu.models.clip import FrozenBatchNorm
+
+Array = jax.Array
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
+                      use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet18Features(nn.Module):
+    """ResNet18 up to global average pool -> 512-d features."""
+
+    in_conv_features: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.in_conv_features, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(self.in_conv_features, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for li, (planes, blocks, stride) in enumerate(
+            [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]
+        ):
+            for bi in range(blocks):
+                x = BasicBlock(planes, stride if bi == 0 else 1, name=f"layer{li + 1}_{bi}")(x)
+        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 512)
+
+
+class TactileEncoder(nn.Module):
+    """Frozen ResNet18 applied to left (ch 0:3) and right (ch 3:6) tactile
+    frames with SHARED weights, features concatenated -> FC head
+    (reference tactile_encoder.py:22-28)."""
+
+    visual_features: int = 64
+    freeze_backbone: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        backbone = ResNet18Features(name="backbone")
+        feats = jnp.concatenate([backbone(x[..., :3]), backbone(x[..., 3:6])], axis=-1)
+        if self.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        x = nn.relu(nn.Dense(512, name="fc1")(feats))
+        return nn.Dense(self.visual_features, name="fc2")(x)

@@ -111,4 +111,14 @@ def make_vision_encoder(cfg: VisionEncoderConfig, dtype, name: str):
         return VisionNetworkStatic(cfg, dtype, name=name)
     if cfg.kind == "nature_cnn":
         return NatureCNN(cfg, dtype, name=name)
+    if cfg.kind == "clip":
+        from hulc_tpu.models.clip import VisionClip
+
+        return VisionClip(
+            visual_features=cfg.visual_features, model_name=cfg.clip_model, name=name
+        )
+    if cfg.kind == "tactile":
+        from hulc_tpu.models.tactile import TactileEncoder
+
+        return TactileEncoder(visual_features=cfg.visual_features, name=name)
     raise ValueError(f"unknown vision encoder kind {cfg.kind!r}")

@@ -13,11 +13,25 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from hulc_tpu.config import HulcConfig
+from hulc_tpu.config import HulcConfig, VisionEncoderConfig
 from hulc_tpu.models.hulc import ModalityBatch
-from hulc_tpu.ops.image_ops import preprocess_rgb_seq
+from hulc_tpu.ops.image_ops import preprocess_rgb_seq, resize_bilinear
 
 Array = jax.Array
+
+
+def _prep_one(enc_cfg: VisionEncoderConfig, imgs, rng, train, dtype):
+    if imgs.shape[2] != enc_cfg.input_size:
+        # e.g. 200px dataset images into a 224px CLIP encoder
+        imgs = resize_bilinear(imgs, enc_cfg.input_size, enc_cfg.input_size)
+    if enc_cfg.kind == "clip":
+        from hulc_tpu.models.clip import clip_preprocess
+
+        b, s = imgs.shape[:2]
+        return clip_preprocess(imgs).astype(dtype)
+    return preprocess_rgb_seq(
+        imgs, rng, enc_cfg.shift_pad if train else 0, out_dtype=dtype
+    )
 
 
 def preprocess_modality(
@@ -29,13 +43,11 @@ def preprocess_modality(
         k_static, k_gripper = jax.random.split(rng)
     dtype = cfg.dtype
     updates = {
-        "rgb_static": preprocess_rgb_seq(
-            batch.rgb_static, k_static, pe.rgb_static.shift_pad if train else 0, out_dtype=dtype
-        )
+        "rgb_static": _prep_one(pe.rgb_static, batch.rgb_static, k_static, train, dtype)
     }
     if batch.rgb_gripper is not None and pe.rgb_gripper is not None:
-        updates["rgb_gripper"] = preprocess_rgb_seq(
-            batch.rgb_gripper, k_gripper, pe.rgb_gripper.shift_pad if train else 0, out_dtype=dtype
+        updates["rgb_gripper"] = _prep_one(
+            pe.rgb_gripper, batch.rgb_gripper, k_gripper, train, dtype
         )
     return batch._replace(**updates)
 

@@ -1,0 +1,256 @@
+"""Extended component family: CLIP towers + tokenizer, tactile ResNet18,
+host transforms, language embedders, warm-start utility, config presets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hulc_tpu.config import get_config
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+
+def test_clip_vit_shapes():
+    from hulc_tpu.models.clip import CLIPVisionTransformer
+
+    model = CLIPVisionTransformer(input_resolution=224, patch_size=32, width=96, layers=2, heads=3, output_dim=64)
+    x = jnp.zeros((2, 224, 224, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 64)
+
+
+def test_clip_resnet_shapes():
+    from hulc_tpu.models.clip import ModifiedResNet
+
+    model = ModifiedResNet(layers=(1, 1, 1, 1), width=16, output_dim=32, heads=4, input_resolution=224)
+    x = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 32)
+
+
+def test_clip_text_shapes_and_eot():
+    from hulc_tpu.models.clip import CLIPTextTransformer
+
+    model = CLIPTextTransformer(vocab_size=1000, width=64, layers=2, heads=2, output_dim=32)
+    tokens = jnp.asarray([[999, 5, 998, 0, 0], [999, 998, 0, 0, 0]], jnp.int32)
+    params = model.init(jax.random.key(0), tokens)["params"]
+    out = model.apply({"params": params}, tokens)
+    assert out.shape == (2, 32)
+
+
+def test_clip_tokenizer_roundtrip():
+    from hulc_tpu.utils.clip_tokenizer import SimpleTokenizer, tokenize
+
+    try:
+        tok = SimpleTokenizer()
+    except FileNotFoundError:
+        pytest.skip("BPE vocab not available")
+    ids = tok.encode("push the sliding door to the left side")
+    assert len(ids) > 0
+    assert tok.decode(ids).strip() == "push the sliding door to the left side"
+    arr = tokenize(["open the drawer", "turn on the led"], tokenizer=tok)
+    assert arr.shape == (2, 77)
+    assert (arr[:, 0] == tok.encoder["<|startoftext|>"]).all()
+
+
+def test_vision_clip_wrapper_frozen_backbone():
+    from hulc_tpu.models.clip import VisionClip
+
+    model = VisionClip(visual_features=16, model_name="ViT-B/32")
+    x = jnp.zeros((2, 224, 224, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    # backbone grads must be zero (stop_gradient), head grads may flow
+    backbone_g = sum(
+        float(jnp.abs(v).sum()) for v in jax.tree.leaves(g["CLIPVisionTransformer_0"])
+    )
+    assert backbone_g == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Tactile
+# ---------------------------------------------------------------------------
+
+
+def test_tactile_encoder_shapes():
+    from hulc_tpu.models.tactile import TactileEncoder
+
+    model = TactileEncoder(visual_features=64)
+    x = jnp.zeros((2, 64, 64, 6))
+    params = model.init(jax.random.key(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 64)
+
+
+# ---------------------------------------------------------------------------
+# Host transforms
+# ---------------------------------------------------------------------------
+
+
+def test_relative_actions_matches_reference():
+    from tests.conftest import load_reference_module
+
+    ref = load_reference_module("hulc/utils/transforms.py", "ref_transforms")
+    from hulc_tpu.data.transforms import RelativeActions
+
+    rng = np.random.default_rng(0)
+    actions = rng.uniform(-1, 1, (16, 7)).astype(np.float32)
+    robot = rng.uniform(-1, 1, (16, 15)).astype(np.float32)
+    ours = RelativeActions(0.02, 0.05)(actions, robot)
+    theirs = ref.RelativeActions(0.02, 0.05)((actions, robot))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_normalize_and_noise_transforms():
+    from hulc_tpu.data.transforms import AddDepthNoise, AddGaussianNoise, NormalizeVector
+
+    x = np.ones((4, 3), np.float32)
+    out = NormalizeVector([1.0, 1.0, 1.0], [2.0, 2.0, 2.0])(x)
+    np.testing.assert_allclose(out, 0.0)
+    noisy = AddGaussianNoise(0.0, 0.1, seed=0)(x)
+    assert noisy.shape == x.shape and not np.allclose(noisy, x)
+    depth = AddDepthNoise(1000.0, 1000.0, seed=0)(np.full((8, 8), 2.0, np.float32))
+    assert abs(depth.mean() - 2.0) < 0.1  # multiplicative noise, mean ~1
+
+
+# ---------------------------------------------------------------------------
+# Language embedders + annotation writer
+# ---------------------------------------------------------------------------
+
+
+def test_hash_embedder_and_annotation_writer(tmp_path):
+    from hulc_tpu.data.language import HashEmbedder, PrecomputedEmbedder, write_lang_annotations
+
+    emb = HashEmbedder(384)
+    e1 = emb.embed(["open the drawer"])
+    e2 = emb.embed(["open the drawer"])
+    np.testing.assert_array_equal(e1, e2)  # deterministic
+    assert e1.shape == (1, 384)
+
+    annotations = [
+        ("open the drawer", "open_drawer", (0, 63)),
+        ("turn on the light bulb", "turn_on_lightbulb", (64, 127)),
+    ]
+    write_lang_annotations(tmp_path, annotations, emb, validation_embeddings=True)
+    data = np.load(tmp_path / "auto_lang_ann.npy", allow_pickle=True).item()
+    assert data["language"]["emb"].shape == (2, 1, 384)
+    assert data["info"]["indx"] == [(0, 63), (64, 127)]
+
+    lookup = PrecomputedEmbedder(tmp_path / "auto_lang_ann.npy")
+    np.testing.assert_allclose(lookup.embed(["open the drawer"]), e1, atol=1e-6)
+    val = PrecomputedEmbedder(tmp_path / "embeddings.npy")
+    assert val.embed(["turn on the light bulb"]).shape == (1, 384)
+
+
+# ---------------------------------------------------------------------------
+# Warm start
+# ---------------------------------------------------------------------------
+
+
+def test_initialize_pretrained_weights_resizes_pos_emb():
+    from hulc_tpu.training.pretrain import initialize_pretrained_weights
+
+    target = {
+        "plan_recognition": {"position_embeddings": np.zeros((16, 8), np.float32)},
+        "action_decoder": {"w": np.zeros(3, np.float32)},
+    }
+    source = {
+        "plan_recognition": {"position_embeddings": np.ones((32, 8), np.float32)},
+        "action_decoder": {"w": np.ones(3, np.float32)},
+    }
+    out = initialize_pretrained_weights(target, source)
+    assert np.asarray(out["plan_recognition"]["position_embeddings"]).shape == (16, 8)
+    np.testing.assert_array_equal(out["action_decoder"]["w"], 1.0)
+    # exclusion keeps fresh init
+    out2 = initialize_pretrained_weights(target, source, exclude_plan_recognition=True)
+    np.testing.assert_array_equal(out2["plan_recognition"]["position_embeddings"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# New config presets build + forward
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_decoder_preset_forward():
+    from hulc_tpu.config import _debug
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    cfg = _debug(get_config("hulc_deterministic"))
+    assert cfg.action_decoder.kind == "deterministic"
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg)}
+    params = init_params(model, jax.random.key(0), batch)
+    losses = model.apply(
+        {"params": params}, jax.random.key(1), batch, 0.01,
+        method=model.train_losses, rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_depth_encoders_forward():
+    """RGB-D fusion: depth cameras add 64-d each to the latent."""
+    import dataclasses
+
+    from hulc_tpu.config import (
+        ActionDecoderConfig,
+        HulcConfig,
+        PerceptualEncoderConfig,
+        PlanProposalConfig,
+        PlanRecognitionConfig,
+        DistributionConfig,
+        GoalEncoderConfig,
+        VisionEncoderConfig,
+    )
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    cfg = HulcConfig(
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=VisionEncoderConfig(input_size=64, visual_features=16, shift_pad=3),
+            rgb_gripper=VisionEncoderConfig(kind="nature_cnn", input_size=48, visual_features=16, shift_pad=2),
+            depth_static=VisionEncoderConfig(input_size=64, visual_features=16, num_channels=1),
+            depth_gripper=VisionEncoderConfig(kind="nature_cnn", input_size=48, visual_features=16, num_channels=1),
+        ),
+        plan_proposal=PlanProposalConfig(hidden_size=32, latent_goal_features=8),
+        plan_recognition=PlanRecognitionConfig(num_heads=4, encoder_hidden_size=32, fc_hidden_size=32, max_position_embeddings=8),
+        distribution=DistributionConfig(category_size=4, class_size=4),
+        visual_goal=GoalEncoderConfig(hidden_size=16, latent_goal_features=8),
+        language_goal=GoalEncoderConfig(hidden_size=16, latent_goal_features=8),
+        action_decoder=ActionDecoderConfig(hidden_size=32, latent_goal_features=8, perceptual_emb_slice=(32, 48)),
+        proj_vis_lang_dim=8,
+    ).resolve()
+    assert cfg.perceptual_encoder.latent_size == 64  # 4 x 16
+    model = make_model(cfg)
+    rng = np.random.default_rng(0)
+    b, s = 2, 8
+    batch_v = example_batch(cfg)._replace(
+        depth_static=rng.uniform(0, 4, (b, s, 64, 64)).astype(np.float32),
+        depth_gripper=rng.uniform(0, 2, (b, s, 48, 48)).astype(np.float32),
+    )
+    batch = {"vis": batch_v}
+    params = init_params(model, jax.random.key(0), batch)
+    losses = model.apply(
+        {"params": params}, jax.random.key(1), batch, 0.01,
+        method=model.train_losses, rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.isfinite(float(losses["total_loss"]))
+    assert "depth_static" in params["perceptual_encoder"]
+
+
+def test_config_registry_complete():
+    from hulc_tpu.config import CONFIGS
+
+    for name in ["hulc", "mcil", "gcbc", "hulc_clip_vision", "hulc_clip_lang",
+                 "hulc_depth", "hulc_tactile", "hulc_deterministic"]:
+        cfg = CONFIGS[name]()
+        assert cfg.action_decoder.perceptual_features > 0  # resolved
