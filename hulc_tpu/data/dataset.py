@@ -89,8 +89,11 @@ class EpisodeStore:
         self._fmt = self._detect_format()
         self._cache: Optional[Dict[str, np.ndarray]] = None
         self._cache_offset = self._min_frame
+        self.shm = None
         if cache == "ram":
             self._build_cache()
+        elif cache == "shm":
+            self._attach_or_populate_shm()
 
     def _detect_format(self) -> str:
         for fmt in ("episode_{:07d}.npz", "episode_{:06d}.npz"):
@@ -114,6 +117,27 @@ class EpisodeStore:
                 cache[k][i] = frame[k]
         self._cache = cache
 
+    def _attach_or_populate_shm(self) -> None:
+        """Shared-memory cache (native ShmDataset equivalent): attach an
+        existing ready arena or populate one from disk (the 'warm-up')."""
+        import hashlib
+
+        from hulc_tpu.data.shm_store import ShmEpisodeCache
+
+        digest = hashlib.sha1(
+            (str(self.split_dir.resolve()) + "|" + ",".join(self.keys)).encode()
+        ).hexdigest()[:16]
+        name = f"/hulc_tpu_{digest}"
+        first = self._load_frame(self._min_frame)
+        key_meta = {k: (first[k].shape, first[k].dtype) for k in self.keys}
+        try:
+            shm = ShmEpisodeCache.attach(name, key_meta)
+            shm.wait_ready()
+        except FileNotFoundError:
+            shm = ShmEpisodeCache.populate_from_store(name, self)
+        self.shm = shm
+        self._cache = {k: shm.key_array(k) for k in self.keys}
+
     def _load_frame(self, frame_idx: int) -> Dict[str, np.ndarray]:
         with np.load(self.split_dir / self._fmt.format(frame_idx)) as f:
             return {k: f[k] for k in self.keys}
@@ -125,6 +149,27 @@ class EpisodeStore:
             return {k: self._cache[k][o : o + length] for k in self.keys}
         frames = [self._load_frame(start + i) for i in range(length)]
         return {k: np.stack([f[k] for f in frames]) for k in self.keys}
+
+    def gather_padded(
+        self, key: str, starts: Sequence[int], lengths: Sequence[int], max_window: int
+    ) -> np.ndarray:
+        """Batched padded windows; C++ memcpy fast path when shm-cached.
+
+        Pads by repeating the last frame (rel_actions tail-zeroing is the
+        caller's responsibility, see loader._assemble).
+        """
+        rel = np.asarray(starts, np.int64) - self._cache_offset
+        if self.shm is not None:
+            return self.shm.gather_windows(key, rel, np.asarray(lengths, np.int64), max_window)
+        out = None
+        for i, (start, length) in enumerate(zip(starts, lengths)):
+            w = self.get_window(int(start), int(length))[key]
+            if out is None:
+                out = np.empty((len(rel), max_window) + w.shape[1:], w.dtype)
+            take = min(length, max_window)
+            out[i, :take] = w[:take]
+            out[i, take:] = w[take - 1]
+        return out
 
     @property
     def num_frames(self) -> int:

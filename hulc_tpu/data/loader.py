@@ -24,7 +24,6 @@ from hulc_tpu.data.dataset import (
     EpisodeStore,
     LangWindowSampler,
     VisionWindowSampler,
-    pad_window,
 )
 from hulc_tpu.models.hulc import ModalityBatch
 
@@ -61,13 +60,18 @@ class ModalityLoader:
 
     def _assemble(self, samples) -> ModalityBatch:
         cfg = self.cfg
-        windows = []
-        for s in samples:
-            w = self.store.get_window(s.start, s.length)
-            windows.append(pad_window(w, self.max_window))
+        starts = [s.start for s in samples]
+        lengths = [s.length for s in samples]
 
         def stack(key):
-            return np.stack([w[key] for w in windows])
+            out = self.store.gather_padded(key, starts, lengths, self.max_window)
+            if key == "rel_actions":
+                # pad semantics for relative actions: zero motion, keep the
+                # repeated gripper command (pad_window equivalence)
+                for i, ln in enumerate(lengths):
+                    if ln < self.max_window:
+                        out[i, ln:, :6] = 0.0
+            return out
 
         action_key = "rel_actions" if self.relative_actions else "actions"
         raw_robot = stack("robot_obs")  # (B, S, 15) unnormalized

@@ -33,7 +33,7 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lr-schedule", default="constant")
     p.add_argument("--kl-schedule", default="constant", choices=["constant", "linear", "sigmoid"])
-    p.add_argument("--cache", default="ram", choices=["ram", "none"])
+    p.add_argument("--cache", default="ram", choices=["ram", "none", "shm"])
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
