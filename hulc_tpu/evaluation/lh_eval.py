@@ -48,19 +48,40 @@ def rollout(
     instruction,
     oracle,
     ep_len: int = DEFAULT_EP_LEN,
+    frames: Optional[list] = None,
 ) -> bool:
     """Run one instruction to success or timeout (reference evaluate_policy
-    rollout: model.reset() per subtask, oracle diff vs subtask start)."""
+    rollout: model.reset() per subtask, oracle diff vs subtask start).
+    When ``frames`` is a list, static-camera frames are appended (video
+    capture, reference rollout_lh num_videos)."""
     policy.reset()
     start_info = env.get_info()
     obs = env.get_obs()
     for _ in range(ep_len):
+        if frames is not None:
+            frames.append(np.asarray(obs["rgb_obs"]["rgb_static"]))
         action = policy.step(obs, instruction)
         obs = env.step(action)
         done = oracle.get_task_info_for_set(start_info, env.get_info(), {task})
         if task in done:
             return True
     return False
+
+
+def save_video(frames, path) -> None:
+    """Write captured frames as a compressed npz (+ .gif when imageio is
+    available)."""
+    import pathlib as _pl
+
+    path = _pl.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path.with_suffix(".npz"), frames=np.stack(frames))
+    try:
+        import imageio
+
+        imageio.mimsave(path.with_suffix(".gif"), list(frames), fps=15)
+    except ImportError:
+        pass
 
 
 def evaluate_policy(
@@ -75,6 +96,8 @@ def evaluate_policy(
     initial_states: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
     output_dir: Optional[pathlib.Path] = None,
     seed: int = 0,
+    num_videos: int = 0,
+    video_dir: Optional[pathlib.Path] = None,
 ) -> Dict:
     """Run the LH-MTLC protocol; returns the per-epoch results dict.
 
@@ -96,14 +119,17 @@ def evaluate_policy(
         else:
             env.reset()
         done_count = 0
+        frames = [] if (i < num_videos and video_dir is not None) else None
         for task in chain:
             instruction = (instructions or {}).get(task, task)
             task_attempts[task] += 1
-            if rollout(env, policy, task, instruction, oracle, ep_len):
+            if rollout(env, policy, task, instruction, oracle, ep_len, frames=frames):
                 task_successes[task] += 1
                 done_count += 1
             else:
                 break
+        if frames:
+            save_video(frames, pathlib.Path(video_dir) / f"chain_{i:04d}")
         for k in range(done_count):
             chain_successes[k] += 1
         seq_lens.append(done_count)

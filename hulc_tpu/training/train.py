@@ -39,6 +39,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
+    # multi-host pods: HULC_TPU_COORDINATOR=host:port triggers
+    # jax.distributed.initialize before any backend use
+    import os
+
+    coordinator = os.environ.get("HULC_TPU_COORDINATOR")
+    if coordinator:
+        from hulc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coordinator)
+
     overrides = {}
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"

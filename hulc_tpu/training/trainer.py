@@ -62,6 +62,11 @@ class TrainerConfig:
     checkpoint_every_epochs: int = 1
     num_devices: Optional[int] = None  # None -> all
     donate_state: bool = True
+    # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+    # written to <run_dir>/profile (no profiling subsystem exists in the
+    # reference to port — SURVEY.md §5)
+    profile_start: Optional[int] = None
+    profile_steps: int = 5
 
 
 class MetricLogger:
@@ -230,10 +235,18 @@ class Trainer:
             t_epoch = time.time()
             seqs = 0
             for i, raw_batch in enumerate(train_loader):
+                if tcfg.profile_start is not None and total_steps == tcfg.profile_start:
+                    jax.profiler.start_trace(str(pathlib.Path(tcfg.run_dir) / "profile"))
                 raw_batch = shard_batch_tree(raw_batch, self.mesh)
                 state, losses = self._train_step(state, raw_batch, rng, kl_beta)
                 seqs += sum(b.actions.shape[0] for b in raw_batch.values())
                 total_steps += 1
+                if (
+                    tcfg.profile_start is not None
+                    and total_steps == tcfg.profile_start + tcfg.profile_steps
+                ):
+                    jax.block_until_ready(losses["total_loss"])
+                    jax.profiler.stop_trace()
                 if i % tcfg.log_every == 0:
                     losses = jax.device_get(losses)
                     self.logger.log(losses, int(state.step), "train")
