@@ -52,3 +52,40 @@ def initialize_distributed(coordinator_address: Optional[str] = None, **kwargs) 
     if coordinator_address is None:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Optional parameter sharding (FSDP-style)
+# ---------------------------------------------------------------------------
+#
+# The HULC model (~47M params, 188 MB fp32 + 2x adam moments) fits easily in
+# one chip's HBM, so the production config replicates params (SURVEY.md
+# §2.7). For memory-constrained variants (or much larger models on the same
+# skeleton) `fsdp_param_sharding` shards every large parameter along its
+# biggest axis over the data mesh axis; XLA all-gathers weights on use and
+# reduce-scatters gradients — standard ZeRO-3 behavior from shardings alone.
+
+
+def fsdp_param_sharding(params, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16):
+    """Per-leaf NamedSharding tree: biggest divisible axis sharded over data."""
+    n = mesh.shape[axis_name]
+
+    def spec_for(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        # choose the largest axis divisible by the mesh size
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if shape[i] % n == 0:
+                spec = [None] * len(shape)
+                spec[i] = axis_name
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16):
+    shardings = fsdp_param_sharding(params, mesh, axis_name, min_size)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -62,6 +62,9 @@ class TrainerConfig:
     checkpoint_every_epochs: int = 1
     num_devices: Optional[int] = None  # None -> all
     donate_state: bool = True
+    # ZeRO-3-style parameter sharding over the data axis. The 47M-param HULC
+    # fits replicated (the default); enable for larger model variants.
+    fsdp: bool = False
     # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     # written to <run_dir>/profile (no profiling subsystem exists in the
     # reference to port — SURVEY.md §5)
@@ -129,6 +132,14 @@ class Trainer:
             )
             return variables["params"]
 
+        if self.tcfg.fsdp:
+            from hulc_tpu.parallel.mesh import fsdp_param_sharding
+
+            shapes = jax.eval_shape(init_fn, rng)
+            shardings = fsdp_param_sharding(shapes, self.mesh)
+            params = jax.jit(init_fn, out_shardings=shardings)(rng)
+            # opt_state mirrors the param shardings (created from params)
+            return TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
         params = jax.jit(init_fn, out_shardings=replicated(self.mesh))(rng)
         state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
         return replicate_tree(state, self.mesh)
@@ -162,6 +173,11 @@ class Trainer:
             return new_state, losses
 
         donate = (0,) if self.tcfg.donate_state else ()
+        if self.tcfg.fsdp:
+            # shardings inferred from input placement: params stay ZeRO-3
+            # sharded; XLA all-gathers weights per use and reduce-scatters
+            # the gradients
+            return jax.jit(train_step, donate_argnums=donate)
         return jax.jit(
             train_step,
             in_shardings=(
