@@ -241,10 +241,14 @@ class VisionWindowSampler:
         i = int(self.rng.integers(len(self.starts)))
         return self.sample_at(i)
 
-    def sample_at(self, i: int) -> WindowSample:
+    def sample_at(self, i: int, deterministic: bool = False) -> WindowSample:
         start = int(self.starts[i])
         remaining = int(self._ends[i]) + 1 - start
-        length = int(self.rng.integers(self.min_window, min(self.max_window, remaining) + 1))
+        max_len = min(self.max_window, remaining)
+        if deterministic:
+            length = max_len  # reproducible validation windows
+        else:
+            length = int(self.rng.integers(self.min_window, max_len + 1))
         return WindowSample(start=start, length=length)
 
 
@@ -298,11 +302,15 @@ class LangWindowSampler:
     def sample(self) -> WindowSample:
         return self.sample_at(int(self.rng.integers(len(self.starts))))
 
-    def sample_at(self, i: int) -> WindowSample:
+    def sample_at(self, i: int, deterministic: bool = False) -> WindowSample:
         start = int(self.starts[i])
         end = int(self._ends[i])
         remaining = end + 1 - start
-        length = int(self.rng.integers(self.min_window, min(self.max_window, remaining) + 1))
+        max_len = min(self.max_window, remaining)
+        if deterministic:
+            length = max_len  # reproducible validation windows
+        else:
+            length = int(self.rng.integers(self.min_window, max_len + 1))
         use_aux = (end + 1 - (start + length)) < self.aux_lang_loss_window
         return WindowSample(
             start=start, length=length, use_for_aux_lang_loss=use_aux, lang_idx=int(self.ann_idx[i])

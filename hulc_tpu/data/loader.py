@@ -115,24 +115,33 @@ class ModalityLoader:
         """Sequential (wrap-around) batch for validation."""
         n = len(self.sampler)
         idxs = [(step * self.batch_size + i) % n for i in range(self.batch_size)]
-        return self._assemble([self.sampler.sample_at(i) for i in idxs])
+        return self._assemble([self.sampler.sample_at(i, deterministic=True) for i in idxs])
 
 
 class CombinedLoader:
     """Yields {"vis": ModalityBatch, "lang": ModalityBatch} with prefetch.
 
     Epoch length = max over modality loaders (reference num_training_steps,
-    hulc.py:198-200).
+    hulc.py:198-200). deterministic=True iterates samples sequentially
+    (validation; reference shuffle_val=False).
     """
 
-    def __init__(self, loaders: Dict[str, ModalityLoader], prefetch: int = 2):
+    def __init__(
+        self, loaders: Dict[str, ModalityLoader], prefetch: int = 2, deterministic: bool = False
+    ):
         self.loaders = loaders
         self.prefetch = prefetch
+        self.deterministic = deterministic
+        self._step = 0
 
     def __len__(self) -> int:
         return max(len(l) for l in self.loaders.values())
 
     def _make(self) -> Dict[str, ModalityBatch]:
+        if self.deterministic:
+            out = {k: l.deterministic_batch(self._step) for k, l in self.loaders.items()}
+            self._step += 1
+            return out
         return {k: l.next_batch() for k, l in self.loaders.items()}
 
     def __iter__(self) -> Iterator[Dict[str, ModalityBatch]]:
@@ -168,6 +177,7 @@ def make_loaders(
     cache: str = "ram",
     seed: int = 0,
     with_depth: bool = False,
+    deterministic: bool = False,
 ) -> CombinedLoader:
     """Build the dual-modality loader for one split."""
     import pathlib
@@ -195,4 +205,4 @@ def make_loaders(
         "vis": ModalityLoader(store, vis_sampler, cfg, batch_size, relative_actions, "vis", seed + 2),
         "lang": ModalityLoader(store, lang_sampler, cfg, batch_size, relative_actions, "lang", seed + 3),
     }
-    return CombinedLoader(loaders)
+    return CombinedLoader(loaders, deterministic=deterministic)

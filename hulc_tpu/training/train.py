@@ -37,6 +37,14 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--rollout", action="store_true",
+        help="run the long-horizon rollout callback each val epoch (fake env "
+        "unless --env-factory module:function is given)",
+    )
+    p.add_argument("--env-factory", default=None)
+    p.add_argument("--rollout-sequences", type=int, default=128)
+    p.add_argument("--rollout-ep-len", type=int, default=360)
     args = p.parse_args(argv)
 
     # multi-host pods: HULC_TPU_COORDINATOR=host:port triggers
@@ -80,16 +88,50 @@ def main(argv=None):
     )
     try:
         val_loader = make_loaders(
-            cfg, root, "validation", args.batch_size, min_w, max_w, cache=args.cache, seed=args.seed + 100
+            cfg, root, "validation", args.batch_size, min_w, max_w,
+            cache=args.cache, seed=args.seed + 100, deterministic=True,
         )
     except FileNotFoundError:
         val_loader = None
+
+    callbacks = []
+    if args.rollout:
+        from hulc_tpu.data.language import PrecomputedEmbedder
+        from hulc_tpu.evaluation.rollout_callback import RolloutLongHorizonCallback
+        from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+        if args.env_factory:
+            from hulc_tpu.evaluation.evaluate import _load_env_factory
+
+            env, oracle = _load_env_factory(args.env_factory)()
+        else:
+            from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+
+            env, oracle = FakeCalvinEnv(), SceneObsTasks()
+        emb_path = root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy"
+        lang_embeddings = None
+        if emb_path.exists():
+            import numpy as np
+
+            raw = np.load(emb_path, allow_pickle=True).item()
+            lang_embeddings = {k: np.asarray(v["emb"]).reshape(-1) for k, v in raw.items()}
+        callbacks.append(
+            RolloutLongHorizonCallback(
+                env, oracle,
+                num_sequences=args.rollout_sequences,
+                ep_len=args.rollout_ep_len,
+                skip_epochs=0,
+                lang_embeddings=lang_embeddings,
+            )
+        )
+
     state = trainer.fit(
         train_loader,
         val_loader,
         max_epochs=tcfg.max_epochs,
         max_steps=args.steps,
         resume=not args.no_resume,
+        callbacks=callbacks,
     )
     print(f"[train] done at step {int(state.step)}; checkpoints in {run_dir}/saved_models")
     return state
