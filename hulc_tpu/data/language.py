@@ -27,6 +27,23 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def load_task_embeddings(path) -> Dict[str, np.ndarray]:
+    """validation embeddings.npy -> {task: (384,) embedding} (shared by the
+    eval CLI, the rollout callback, and the trainer)."""
+    raw = np.load(path, allow_pickle=True).item()
+    return {k: np.asarray(v["emb"], np.float32).reshape(-1) for k, v in raw.items()}
+
+
+def restrict_task_pool(lang_embeddings: Optional[Dict[str, np.ndarray]], all_tasks, min_pool: int = 5):
+    """Tasks evaluable with the available embeddings (chains need >= min_pool)."""
+    if not lang_embeddings:
+        return list(all_tasks)
+    pool = sorted(set(all_tasks) & set(lang_embeddings))
+    if len(pool) < min_pool:
+        pool = sorted(lang_embeddings)
+    return pool
+
+
 class PrecomputedEmbedder:
     """Sentence -> embedding lookup from auto_lang_ann.npy or embeddings.npy."""
 

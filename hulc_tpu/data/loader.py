@@ -145,6 +145,8 @@ class CombinedLoader:
         return {k: l.next_batch() for k, l in self.loaders.items()}
 
     def __iter__(self) -> Iterator[Dict[str, ModalityBatch]]:
+        if self.deterministic:
+            self._step = 0  # every epoch evaluates the same slice
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         steps = len(self)
@@ -153,7 +155,15 @@ class CombinedLoader:
             for _ in range(steps):
                 if stop.is_set():
                     return
-                q.put(self._make())
+                batch = self._make()
+                # bounded put so an early-terminated consumer (validate()
+                # breaking at max_batches) doesn't leave us blocked forever
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -162,6 +172,7 @@ class CombinedLoader:
                 yield q.get()
         finally:
             stop.set()
+            t.join(timeout=5.0)
 
 
 def make_loaders(

@@ -67,6 +67,8 @@ def main(argv=None):
     batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
     template = init_params(model, jax.random.key(0), batch)
 
+    from hulc_tpu.data.language import load_task_embeddings, restrict_task_pool
+
     stats = None
     lang_embeddings = None
     if args.dataset_dir:
@@ -74,8 +76,7 @@ def main(argv=None):
         stats = DatasetStatistics.load(val_dir)
         emb_path = val_dir / args.lang_folder / "embeddings.npy"
         if emb_path.exists():
-            raw = np.load(emb_path, allow_pickle=True).item()
-            lang_embeddings = {k: np.asarray(v["emb"]).reshape(-1) for k, v in raw.items()}
+            lang_embeddings = load_task_embeddings(emb_path)
 
     if args.env_factory:
         env, oracle = _load_env_factory(args.env_factory)()
@@ -86,9 +87,7 @@ def main(argv=None):
     from hulc_tpu.evaluation.lh_eval import get_sequences
     from hulc_tpu.evaluation.tasks import ALL_TASKS
 
-    task_pool = sorted(set(ALL_TASKS) & set(lang_embeddings or ALL_TASKS))
-    if len(task_pool) < 5:
-        task_pool = sorted(lang_embeddings) if lang_embeddings else list(ALL_TASKS)
+    task_pool = restrict_task_pool(lang_embeddings, ALL_TASKS)
     sequences = get_sequences(args.num_sequences, tasks=task_pool, seed=args.seed)
 
     out_dir = run_dir / "evaluation"

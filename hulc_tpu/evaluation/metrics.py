@@ -1,7 +1,9 @@
 """Validation-only diagnostics (reference Hulc.clip_groundtruth,
 hulc.py:980-1044): rank ground-truth task ids by CLIP similarity between the
 plan-recognition visual features of language-batch windows and a bank of
-encoded language instructions. Logged as lang_gt/{score,sr}.
+encoded language instructions. :class:`ClipGroundtruthCallback` logs them as
+lang_gt/{score,sr} after each validation epoch (wired by the training CLI
+when the CLIP auxiliary loss is enabled).
 """
 
 from __future__ import annotations
@@ -68,3 +70,54 @@ def clip_groundtruth_metrics(
     pred = bank[np.argmax(scores, axis=1)]
     sr = float(np.mean(pred[sel] == gt[sel]))
     return {"lang_gt_score": float(np.mean(score_terms)), "lang_gt_sr": sr}
+
+
+class ClipGroundtruthCallback:
+    """Per-epoch lang_gt diagnostics from the validation language sampler.
+
+    Builds the instruction bank (one embedding per annotation, task-labeled)
+    from the LangWindowSampler and ranks each val window's seq_feat against
+    it.
+    """
+
+    def __init__(self, val_loader, max_batches: int = 4):
+        self.val_loader = val_loader
+        self.max_batches = max_batches
+        sampler = val_loader.loaders["lang"].sampler
+        tasks = sorted(set(sampler.tasks))
+        self._task_to_id = {t: i for i, t in enumerate(tasks)}
+        self.bank_emb = np.asarray(sampler.embeddings, np.float32)
+        self.bank_ids = np.asarray([self._task_to_id[t] for t in sampler.tasks])
+        self._sampler = sampler
+
+    def on_epoch_end(self, trainer, state, epoch: int):
+        import jax
+
+        from hulc_tpu.training.preprocess import preprocess_batch
+
+        model = trainer.model
+        metrics_acc = []
+        for i, raw in enumerate(self.val_loader):
+            if i >= self.max_batches:
+                break
+            lang_batch = raw["lang"]
+            prep = preprocess_batch(trainer.cfg, {"lang": lang_batch}, rng=None, train=False)
+            emb, _ = model.apply({"params": state.params}, prep["lang"], method=model.encode)
+            _, seq_feat = model.apply(
+                {"params": state.params}, emb, method=lambda m, e: m.plan_recognition(e)
+            )
+            gt = np.asarray(
+                [self._task_to_id[self._sampler.tasks[int(j)]] for j in lang_batch.idx]
+            )
+            m = clip_groundtruth_metrics(
+                model, state.params, seq_feat, gt, self.bank_emb, self.bank_ids,
+                mask=np.asarray(lang_batch.use_for_aux_lang_loss),
+            )
+            if m:
+                metrics_acc.append(m)
+        if not metrics_acc:
+            return None
+        mean = {k: float(np.mean([m[k] for m in metrics_acc])) for k in metrics_acc[0]}
+        trainer.logger.log(mean, int(state.step), "lang_gt")
+        print(f"[lang_gt] epoch {epoch}: sr={mean['lang_gt_sr']:.3f}")
+        return mean

@@ -42,19 +42,17 @@ class RolloutLongHorizonCallback:
     def on_epoch_end(self, trainer, state, epoch: int) -> Optional[Dict[str, float]]:
         if epoch < self.skip_epochs or (epoch - self.skip_epochs) % self.rollout_freq != 0:
             return None
-        from hulc_tpu.evaluation.lh_eval import get_sequences
+        from hulc_tpu.data.language import restrict_task_pool
         from hulc_tpu.evaluation.tasks import ALL_TASKS
 
         policy = HulcPolicy(trainer.cfg, state.params, seed=self.seed)
+        pool = restrict_task_pool(self.lang_embeddings, ALL_TASKS)
         if self.lang_embeddings:
             policy.lang_embeddings = self.lang_embeddings
-            # chains restricted to tasks we hold embeddings for
-            pool = sorted(set(ALL_TASKS) & set(self.lang_embeddings)) or sorted(self.lang_embeddings)
         else:
             import numpy as np
 
             policy.lang_embeddings = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
-            pool = list(ALL_TASKS)
         sequences = get_sequences(
             self.num_sequences, tasks=pool, seed=self.seed + epoch,
             chain_len=min(5, len(pool)),

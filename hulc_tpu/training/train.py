@@ -95,8 +95,12 @@ def main(argv=None):
         val_loader = None
 
     callbacks = []
+    if cfg.use_clip_auxiliary_loss and val_loader is not None:
+        from hulc_tpu.evaluation.metrics import ClipGroundtruthCallback
+
+        callbacks.append(ClipGroundtruthCallback(val_loader))
     if args.rollout:
-        from hulc_tpu.data.language import PrecomputedEmbedder
+        from hulc_tpu.data.language import load_task_embeddings
         from hulc_tpu.evaluation.rollout_callback import RolloutLongHorizonCallback
         from hulc_tpu.evaluation.tasks import SceneObsTasks
 
@@ -109,12 +113,7 @@ def main(argv=None):
 
             env, oracle = FakeCalvinEnv(), SceneObsTasks()
         emb_path = root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy"
-        lang_embeddings = None
-        if emb_path.exists():
-            import numpy as np
-
-            raw = np.load(emb_path, allow_pickle=True).item()
-            lang_embeddings = {k: np.asarray(v["emb"]).reshape(-1) for k, v in raw.items()}
+        lang_embeddings = load_task_embeddings(emb_path) if emb_path.exists() else None
         callbacks.append(
             RolloutLongHorizonCallback(
                 env, oracle,

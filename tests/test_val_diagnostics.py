@@ -43,11 +43,40 @@ def test_deterministic_val_loader(tmp_path):
     root = make_fixture_dataset(tmp_path, num_episodes=1, episode_len=48)
     cfg = get_config("gcbc_debug")
     loader = make_loaders(
+        cfg, root, "training", batch_size=2, min_window=8, max_window=12,
+        cache="none", deterministic=True,
+    )
+    # thread-free determinism check: the per-modality deterministic batches
+    # (iterators reset _step themselves; the prefetch thread is exercised by
+    # the trainer tests)
+    vis = loader.loaders["vis"]
+    a = vis.deterministic_batch(0)
+    b = vis.deterministic_batch(0)
+    np.testing.assert_array_equal(a.idx, b.idx)
+    np.testing.assert_array_equal(a.actions, b.actions)
+    np.testing.assert_array_equal(a.rgb_static, b.rgb_static)
+    # fresh iterators start at the same slice every epoch
+    first_epoch = next(iter(loader))
+    second_epoch = next(iter(loader))
+    np.testing.assert_array_equal(first_epoch["vis"].idx, second_epoch["vis"].idx)
+
+
+def test_clip_groundtruth_callback(tmp_path):
+    import jax
+
+    from hulc_tpu.evaluation.metrics import ClipGroundtruthCallback
+    from hulc_tpu.training.trainer import Trainer, TrainerConfig
+
+    root = make_fixture_dataset(tmp_path / "d", num_episodes=2, episode_len=48)
+    cfg = get_config("hulc_debug")
+    loader = make_loaders(
         cfg, root, "training", batch_size=2, min_window=8, max_window=8,
         cache="none", deterministic=True,
     )
-    a = next(iter(loader))
-    loader._step = 0  # reset
-    b = next(iter(loader))
-    np.testing.assert_array_equal(a["vis"].idx, b["vis"].idx)
-    np.testing.assert_array_equal(a["vis"].actions, b["vis"].actions)
+    trainer = Trainer(cfg, TrainerConfig(run_dir=str(tmp_path / "run"), num_devices=1, donate_state=False))
+    raw = next(iter(loader))
+    state = trainer.init_state(raw, steps_per_epoch=1)
+    cb = ClipGroundtruthCallback(loader, max_batches=1)
+    out = cb.on_epoch_end(trainer, state, epoch=0)
+    if out is not None:  # None when the sampled mask was all-False
+        assert 0.0 <= out["lang_gt_sr"] <= 1.0
