@@ -189,8 +189,13 @@ def make_loaders(
     seed: int = 0,
     with_depth: bool = False,
     deterministic: bool = False,
+    modalities: Tuple[str, ...] = ("vis", "lang"),
 ) -> CombinedLoader:
-    """Build the dual-modality loader for one split."""
+    """Build the (possibly single-) modality loader for one split.
+
+    modalities: ("vis", "lang") default; ("vis",) / ("lang",) mirror the
+    reference's vision_only / lang_only dataset configs.
+    """
     import pathlib
 
     split_dir = pathlib.Path(root_data_dir) / split
@@ -203,17 +208,24 @@ def make_loaders(
         keys.append("depth_gripper")
     store = EpisodeStore(split_dir, keys=keys, cache=cache)
 
-    vis_sampler = VisionWindowSampler(store.episode_ranges, min_window, max_window, seed=seed)
-    lang_sampler = LangWindowSampler(
-        split_dir,
-        lang_folder=lang_folder,
-        min_window=min_window,
-        max_window=max_window,
-        aux_lang_loss_window=aux_lang_loss_window,
-        seed=seed + 1,
-    )
-    loaders = {
-        "vis": ModalityLoader(store, vis_sampler, cfg, batch_size, relative_actions, "vis", seed + 2),
-        "lang": ModalityLoader(store, lang_sampler, cfg, batch_size, relative_actions, "lang", seed + 3),
-    }
+    loaders = {}
+    if "vis" in modalities:
+        vis_sampler = VisionWindowSampler(store.episode_ranges, min_window, max_window, seed=seed)
+        loaders["vis"] = ModalityLoader(
+            store, vis_sampler, cfg, batch_size, relative_actions, "vis", seed + 2
+        )
+    if "lang" in modalities:
+        lang_sampler = LangWindowSampler(
+            split_dir,
+            lang_folder=lang_folder,
+            min_window=min_window,
+            max_window=max_window,
+            aux_lang_loss_window=aux_lang_loss_window,
+            seed=seed + 1,
+        )
+        loaders["lang"] = ModalityLoader(
+            store, lang_sampler, cfg, batch_size, relative_actions, "lang", seed + 3
+        )
+    if not loaders:
+        raise ValueError(f"no modalities selected from {modalities!r}")
     return CombinedLoader(loaders, deterministic=deterministic)

@@ -138,3 +138,35 @@ def test_loader_feeds_model(fixture_root):
         rngs={"dropout": jax.random.key(2)},
     )
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_offset_frame_numbering(tmp_path):
+    """Real CALVIN validation splits start at a large frame index (e.g.
+    episode_0358482.npz); the store and samplers must honor the offset."""
+    import pathlib
+
+    from hulc_tpu.data.fixtures import EP_FMT, _frame
+
+    split = tmp_path / "validation"
+    split.mkdir()
+    rng = np.random.default_rng(0)
+    start = 358482
+    n = 30
+    for i in range(n):
+        np.savez(split / EP_FMT.format(start + i), **_frame(rng, small=True))
+    np.save(split / "ep_start_end_ids.npy", np.asarray([[start, start + n - 1]], np.int64))
+
+    store = EpisodeStore(split, keys=("rgb_static", "actions"), cache="ram")
+    w = store.get_window(start + 5, 10)
+    assert w["actions"].shape == (10, 7)
+    # disk mode must agree with the RAM cache at the same absolute index
+    disk = EpisodeStore(split, keys=("rgb_static", "actions"), cache="none")
+    np.testing.assert_array_equal(w["actions"], disk.get_window(start + 5, 10)["actions"])
+
+    sampler = VisionWindowSampler(store.episode_ranges, min_window=8, max_window=12, seed=0)
+    for _ in range(50):
+        s = sampler.sample()
+        assert start <= s.start and s.start + s.length - 1 <= start + n - 1
+    batch = store.gather_padded("actions", [start + 20], [10], 12)
+    np.testing.assert_array_equal(batch[0, :10], disk.get_window(start + 20, 10)["actions"])
+    np.testing.assert_array_equal(batch[0, 11], batch[0, 9])  # pad repeats last
