@@ -1,0 +1,256 @@
+"""Batched LH-MTLC evaluation: N rollouts advance in lockstep through ONE
+jitted policy step.
+
+The reference evaluates 1000 chains sequentially and fans out over 8 GPUs by
+process (run_multiple.py). On TPU the policy step is a tiny batch-1 program
+— the chip idles between env steps and every step pays a dispatch round
+trip. Batching E environments into one (E, ...) policy step amortizes both:
+with E=64 the per-env cost drops ~50x, and a full 1000-chain protocol runs
+in minutes instead of hours.
+
+Environments advance independently (each on its own chain position /
+instruction); replanning is per-env via masked plan/goal updates so the
+batched step stays shape-static. Works with any env factory returning
+independent env instances with the standard contract.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import pathlib
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hulc_tpu.config import HulcConfig
+from hulc_tpu.data.dataset import DatasetStatistics
+from hulc_tpu.evaluation.lh_eval import CHAIN_LEN, get_sequences
+from hulc_tpu.evaluation.policy import _keep_indices
+from hulc_tpu.evaluation.tasks import SceneObsTasks
+from hulc_tpu.models import make_model
+from hulc_tpu.models.decoders import decoder_carry
+from hulc_tpu.models.hulc import ModalityBatch
+from hulc_tpu.ops.image_ops import preprocess_rgb_seq
+
+
+class BatchedHulcPolicy:
+    """Vectorized reset/step over E concurrent rollouts.
+
+    State is a pytree of (E, ...) arrays; `reset_mask` selectively restarts
+    individual lanes (new instruction) without touching the others.
+    """
+
+    def __init__(
+        self,
+        cfg: HulcConfig,
+        params,
+        num_envs: int,
+        statistics: Optional[DatasetStatistics] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = make_model(cfg)
+        self.params = params
+        self.num_envs = num_envs
+        stats = statistics
+        self._rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
+        self._rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
+        self.replan_freq = cfg.replan_freq
+        self._rng = jax.random.key(seed)
+        model = self.model
+
+        def _encode(params, rgb_static, rgb_gripper, rob_norm):
+            batch = ModalityBatch(
+                rgb_static=preprocess_rgb_seq(rgb_static, None, 0),
+                rgb_gripper=preprocess_rgb_seq(rgb_gripper, None, 0),
+                robot_obs=rob_norm,
+                actions=jnp.zeros((rgb_static.shape[0], 1, 7)),
+                state_info_robot_obs=jnp.zeros((rgb_static.shape[0], 1, 15)),
+            )
+            emb, _ = model.apply({"params": params}, batch, method=model.encode)
+            return emb
+
+        def step_fn(params, rng, rgb_static, rgb_gripper, rob_norm, rob_raw,
+                    lang_emb, plan, latent_goal, carry, replan_mask):
+            """One lockstep batched policy step.
+
+            replan_mask: (E,) bool — lanes that (re)plan this step. New plan
+            and goal are computed for ALL lanes (batched) and merged in via
+            where; carries of replanning lanes reset to zero.
+            """
+            k_plan, k_act = jax.random.split(rng)
+            emb = _encode(params, rgb_static, rgb_gripper, rob_norm)  # (E, 1, F)
+            new_goal = model.apply({"params": params}, lang_emb, method=model.encode_language_goal)
+            new_plan = model.apply(
+                {"params": params}, k_plan, emb, new_goal, method=model.propose_plan
+            )
+            m = replan_mask[:, None]
+            plan = jnp.where(m, new_plan, plan) if plan.shape[-1] else plan
+            latent_goal = jnp.where(m, new_goal, latent_goal)
+            zero_carry = decoder_carry(self.cfg.action_decoder, rgb_static.shape[0])
+            carry = jax.tree.map(
+                lambda z, c: jnp.where(
+                    replan_mask.reshape((1, -1) + (1,) * (c.ndim - 2)), z, c
+                ),
+                zero_carry,
+                carry,
+            )
+            action, carry = model.apply(
+                {"params": params}, k_act, plan, emb, latent_goal, rob_raw, carry,
+                method=model.decoder_act,
+            )
+            return action[:, 0], plan, latent_goal, carry
+
+        self._step = jax.jit(step_fn)
+
+    def initial_state(self):
+        e = self.num_envs
+        plan_dim = 0 if self.cfg.model_kind == "gcbc" else self.cfg.distribution.plan_dim
+        return (
+            jnp.zeros((e, plan_dim), jnp.float32),
+            jnp.zeros((e, self.cfg.visual_goal.latent_goal_features), jnp.float32),
+            decoder_carry(self.cfg.action_decoder, e),
+        )
+
+    def step(self, obs_batch: List[Dict], lang_embs: np.ndarray, state, replan_mask: np.ndarray):
+        """obs_batch: list of E env obs dicts. Returns (actions (E,7), state)."""
+        rgb_static = np.stack([o["rgb_obs"]["rgb_static"] for o in obs_batch])[:, None]
+        rgb_gripper = np.stack([o["rgb_obs"]["rgb_gripper"] for o in obs_batch])[:, None]
+        rob_raw = np.stack([o["robot_obs"] for o in obs_batch]).astype(np.float32)[:, None]
+        rob_norm = _keep_indices((rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)).astype(np.float32)
+        self._rng, k = jax.random.split(self._rng)
+        plan, goal, carry = state
+        actions, plan, goal, carry = self._step(
+            self.params, k, rgb_static, rgb_gripper, rob_norm, rob_raw,
+            jnp.asarray(lang_embs, jnp.float32), plan, goal, carry,
+            jnp.asarray(replan_mask, bool),
+        )
+        return np.asarray(actions), (plan, goal, carry)
+
+
+def evaluate_policy_batched(
+    cfg: HulcConfig,
+    params,
+    env_factory: Callable[[], object],
+    num_sequences: int = 1000,
+    num_envs: int = 64,
+    ep_len: int = 360,
+    oracle: Optional[SceneObsTasks] = None,
+    sequences: Optional[List[List[str]]] = None,
+    lang_embeddings: Optional[Dict[str, np.ndarray]] = None,
+    statistics: Optional[DatasetStatistics] = None,
+    epoch: int = 0,
+    output_dir=None,
+    seed: int = 0,
+) -> Dict:
+    """LH-MTLC protocol with E lockstep environments.
+
+    Each env lane works through its own queue of chains; a lane moves to the
+    next instruction on success, aborts its chain on timeout, and pulls the
+    next chain when done. Results schema identical to lh_eval.evaluate_policy.
+    """
+    oracle = oracle or SceneObsTasks()
+    if sequences is None:
+        tasks = sorted(lang_embeddings) if lang_embeddings else None
+        from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+        sequences = get_sequences(num_sequences, tasks=tasks or list(ALL_TASKS), seed=seed)
+    lang_embeddings = lang_embeddings or {}
+    envs = [env_factory() for _ in range(num_envs)]
+    policy = BatchedHulcPolicy(cfg, params, num_envs, statistics, seed)
+    state = policy.initial_state()
+
+    chain_queue = collections.deque(enumerate(sequences))
+    # per-lane trackers
+    lane_chain = [None] * num_envs  # (chain_idx, tasks list)
+    lane_pos = [0] * num_envs
+    lane_steps = [0] * num_envs
+    lane_start_info = [None] * num_envs
+    lane_obs = [None] * num_envs
+    done_counts = {}
+    task_attempts = collections.defaultdict(int)
+    task_successes = collections.defaultdict(int)
+
+    def start_lane(i) -> bool:
+        if not chain_queue:
+            lane_chain[i] = None
+            return False
+        idx, chain = chain_queue.popleft()
+        lane_chain[i] = (idx, chain)
+        lane_pos[i] = 0
+        lane_steps[i] = 0
+        lane_obs[i] = envs[i].reset()
+        lane_start_info[i] = envs[i].get_info()
+        task_attempts[chain[0]] += 1
+        return True
+
+    def default_emb(task):
+        return lang_embeddings.get(task, np.zeros(384, np.float32))
+
+    for i in range(num_envs):
+        start_lane(i)
+
+    replan = np.ones(num_envs, bool)
+    while any(c is not None for c in lane_chain):
+        active = [i for i in range(num_envs) if lane_chain[i] is not None]
+        obs_batch = [
+            lane_obs[i] if lane_chain[i] is not None else envs[i].get_obs()
+            for i in range(num_envs)
+        ]
+        embs = np.stack([
+            default_emb(lane_chain[i][1][lane_pos[i]]) if lane_chain[i] else np.zeros(384, np.float32)
+            for i in range(num_envs)
+        ])
+        actions, state = policy.step(obs_batch, embs, state, replan)
+        replan = np.zeros(num_envs, bool)
+        for i in active:
+            lane_obs[i] = envs[i].step(actions[i])
+            lane_steps[i] += 1
+            idx, chain = lane_chain[i]
+            task = chain[lane_pos[i]]
+            success = task in oracle.get_task_info_for_set(
+                lane_start_info[i], envs[i].get_info(), {task}
+            )
+            timeout = lane_steps[i] >= ep_len
+            if success:
+                task_successes[task] += 1
+                lane_pos[i] += 1
+                if lane_pos[i] >= len(chain):
+                    done_counts[idx] = len(chain)
+                    replan[i] = start_lane(i)
+                else:
+                    task_attempts[chain[lane_pos[i]]] += 1
+                    lane_steps[i] = 0
+                    lane_start_info[i] = envs[i].get_info()
+                    replan[i] = True
+            elif timeout:
+                done_counts[idx] = lane_pos[i]
+                replan[i] = start_lane(i)
+            elif lane_steps[i] % policy.replan_freq == 0:
+                replan[i] = True
+
+    n = len(sequences)
+    chain_successes = np.zeros(CHAIN_LEN, np.int64)
+    for done in done_counts.values():
+        for k in range(done):
+            chain_successes[k] += 1
+    results = {
+        str(epoch): {
+            "avg_seq_len": float(np.mean(list(done_counts.values()))),
+            "chain_sr": {str(k + 1): float(chain_successes[k] / n) for k in range(CHAIN_LEN)},
+            "task_sr": {
+                t: float(task_successes[t] / task_attempts[t]) for t in sorted(task_attempts)
+            },
+        }
+    }
+    if output_dir is not None:
+        output_dir = pathlib.Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        path = output_dir / "results.json"
+        existing = json.loads(path.read_text()) if path.exists() else {}
+        existing.update(results)
+        path.write_text(json.dumps(existing, indent=2))
+    return results

@@ -35,6 +35,13 @@ def main(argv=None):
     p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
     p.add_argument("--env-factory", default=None, help="module:function -> (env, oracle)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--batched", action="store_true",
+        help="lockstep-batched evaluation: N env lanes through one jitted "
+        "policy batch (~6x faster policy stepping; requires an env factory "
+        "that can create independent instances)",
+    )
+    p.add_argument("--num-envs", type=int, default=64)
     args = p.parse_args(argv)
 
     import jax
@@ -94,6 +101,36 @@ def main(argv=None):
     for path in paths:
         epoch = ckpt.checkpoint_epoch(path)
         params = ckpt.restore_params(path, template)
+        if args.batched:
+            from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+
+            if args.env_factory:
+                factory_fn = _load_env_factory(args.env_factory)
+
+                def env_factory():
+                    return factory_fn()[0]
+            else:
+                env_factory = FakeCalvinEnv
+            results = evaluate_policy_batched(
+                cfg, params, env_factory,
+                num_sequences=args.num_sequences,
+                num_envs=args.num_envs,
+                ep_len=args.ep_len,
+                oracle=oracle,
+                sequences=sequences,
+                lang_embeddings=lang_embeddings
+                or {t: np.zeros(384, np.float32) for t in task_pool},
+                statistics=stats,
+                epoch=epoch,
+                output_dir=out_dir,
+                seed=args.seed,
+            )
+            r = results[str(epoch)]
+            print(
+                f"[eval] epoch {epoch} (batched x{args.num_envs}): "
+                f"avg_seq_len={r['avg_seq_len']:.3f}"
+            )
+            continue
         policy = HulcPolicy(cfg, params, statistics=stats, seed=args.seed)
         if lang_embeddings:
             policy.lang_embeddings = lang_embeddings

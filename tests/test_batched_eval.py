@@ -1,0 +1,84 @@
+"""Batched lockstep evaluator: schema, success accounting, and agreement
+with the sequential protocol on deterministic scripted environments."""
+
+import numpy as np
+import jax
+import pytest
+
+from hulc_tpu.config import get_config
+from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+from hulc_tpu.evaluation.lh_eval import evaluate_policy
+from hulc_tpu.evaluation.policy import HulcPolicy
+from hulc_tpu.evaluation.tasks import ALL_TASKS
+from hulc_tpu.models import example_batch, init_params, make_model
+
+CFG = get_config("gcbc_debug")
+
+
+@pytest.fixture(scope="module")
+def params():
+    model = make_model(CFG)
+    batch = {"vis": example_batch(CFG), "lang": example_batch(CFG, lang=True)}
+    return init_params(model, jax.random.key(0), batch)
+
+
+def scripted_env_factory():
+    env = FakeCalvinEnv()
+    # drawer opens early (success ~t=4); lightbulb turns on late (t>8) so a
+    # second subtask starting after the drawer still sees light=0 first
+    env.script_scene(
+        lambda e, t: (
+            e.scene_obs.__setitem__(1, min(0.2, 0.03 * (t + 1))),
+            e.scene_obs.__setitem__(4, 1.0 if t > 8 else 0.0),
+        )
+    )
+    return env
+
+
+def test_batched_eval_schema_and_accounting(params):
+    sequences = [["open_drawer", "turn_on_lightbulb"]] * 6
+    lang = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+    results = evaluate_policy_batched(
+        CFG, params, scripted_env_factory,
+        num_envs=3, ep_len=14, sequences=sequences, lang_embeddings=lang, epoch=3,
+    )
+    r = results["3"]
+    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr"}
+    assert r["chain_sr"]["1"] == 1.0 and r["chain_sr"]["2"] == 1.0
+    assert r["avg_seq_len"] == 2.0
+    assert r["task_sr"]["open_drawer"] == 1.0
+
+
+def test_batched_matches_sequential_on_scripted_env(params):
+    """Same scripted dynamics -> same chain outcomes as the sequential
+    evaluator (policy actions don't influence the scripted scene)."""
+    sequences = [["open_drawer", "turn_on_lightbulb"]] * 4
+    lang = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+
+    batched = evaluate_policy_batched(
+        CFG, params, scripted_env_factory,
+        num_envs=2, ep_len=14, sequences=sequences, lang_embeddings=lang, epoch=0,
+    )["0"]
+
+    policy = HulcPolicy(CFG, params, lang_embeddings=lang)
+    env = scripted_env_factory()
+    sequential = evaluate_policy(
+        policy, env, epoch=0, sequences=sequences, ep_len=14,
+    )["0"]
+
+    assert batched["chain_sr"] == sequential["chain_sr"]
+    assert batched["avg_seq_len"] == sequential["avg_seq_len"]
+
+
+def test_batched_eval_mixed_outcomes(params):
+    """Lanes with impossible tasks abort their chains independently."""
+    sequences = [["open_drawer", "stack_block"], ["open_drawer", "turn_on_lightbulb"]] * 2
+    lang = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+    results = evaluate_policy_batched(
+        CFG, params, scripted_env_factory,
+        num_envs=2, ep_len=14, sequences=sequences, lang_embeddings=lang,
+    )["0"]
+    assert results["chain_sr"]["1"] == 1.0  # drawer opens everywhere
+    assert results["chain_sr"]["2"] == 0.5  # lightbulb chains pass, stack chains fail
+    assert results["avg_seq_len"] == 1.5
