@@ -91,13 +91,13 @@ class BatchedHulcPolicy:
             plan = jnp.where(m, new_plan, plan) if plan.shape[-1] else plan
             latent_goal = jnp.where(m, new_goal, latent_goal)
             zero_carry = decoder_carry(self.cfg.action_decoder, rgb_static.shape[0])
-            carry = jax.tree.map(
-                lambda z, c: jnp.where(
-                    replan_mask.reshape((1, -1) + (1,) * (c.ndim - 2)), z, c
-                ),
-                zero_carry,
-                carry,
-            )
+
+            def reset_leaf(z, c):
+                if c.ndim < 2:  # stateless mlp decoder carry, shape (0,)
+                    return c
+                return jnp.where(replan_mask.reshape((1, -1) + (1,) * (c.ndim - 2)), z, c)
+
+            carry = jax.tree.map(reset_leaf, zero_carry, carry)
             action, carry = model.apply(
                 {"params": params}, k_act, plan, emb, latent_goal, rob_raw, carry,
                 method=model.decoder_act,
@@ -134,7 +134,7 @@ class BatchedHulcPolicy:
 def evaluate_policy_batched(
     cfg: HulcConfig,
     params,
-    env_factory: Callable[[], object],
+    env_factory: Optional[Callable[[], object]] = None,
     num_sequences: int = 1000,
     num_envs: int = 64,
     ep_len: int = 360,
@@ -145,6 +145,7 @@ def evaluate_policy_batched(
     epoch: int = 0,
     output_dir=None,
     seed: int = 0,
+    envs: Optional[List] = None,
 ) -> Dict:
     """LH-MTLC protocol with E lockstep environments.
 
@@ -154,12 +155,19 @@ def evaluate_policy_batched(
     """
     oracle = oracle or SceneObsTasks()
     if sequences is None:
-        tasks = sorted(lang_embeddings) if lang_embeddings else None
+        from hulc_tpu.data.language import restrict_task_pool
         from hulc_tpu.evaluation.tasks import ALL_TASKS
 
-        sequences = get_sequences(num_sequences, tasks=tasks or list(ALL_TASKS), seed=seed)
+        pool = restrict_task_pool(lang_embeddings, ALL_TASKS)
+        sequences = get_sequences(num_sequences, tasks=pool, seed=seed)
     lang_embeddings = lang_embeddings or {}
-    envs = [env_factory() for _ in range(num_envs)]
+    lang_dim = (
+        next(iter(lang_embeddings.values())).shape[-1] if lang_embeddings else cfg.lang_dim
+    )
+    if envs is None:
+        envs = [env_factory() for _ in range(num_envs)]
+    else:
+        num_envs = len(envs)
     policy = BatchedHulcPolicy(cfg, params, num_envs, statistics, seed)
     state = policy.initial_state()
 
@@ -177,7 +185,7 @@ def evaluate_policy_batched(
     def start_lane(i) -> bool:
         if not chain_queue:
             lane_chain[i] = None
-            return False
+            return False  # lane_obs[i] keeps the last observation (batch filler)
         idx, chain = chain_queue.popleft()
         lane_chain[i] = (idx, chain)
         lane_pos[i] = 0
@@ -188,7 +196,7 @@ def evaluate_policy_batched(
         return True
 
     def default_emb(task):
-        return lang_embeddings.get(task, np.zeros(384, np.float32))
+        return lang_embeddings.get(task, np.zeros(lang_dim, np.float32))
 
     for i in range(num_envs):
         start_lane(i)
@@ -196,12 +204,11 @@ def evaluate_policy_batched(
     replan = np.ones(num_envs, bool)
     while any(c is not None for c in lane_chain):
         active = [i for i in range(num_envs) if lane_chain[i] is not None]
-        obs_batch = [
-            lane_obs[i] if lane_chain[i] is not None else envs[i].get_obs()
-            for i in range(num_envs)
-        ]
+        obs_batch = [lane_obs[i] for i in range(num_envs)]
         embs = np.stack([
-            default_emb(lane_chain[i][1][lane_pos[i]]) if lane_chain[i] else np.zeros(384, np.float32)
+            default_emb(lane_chain[i][1][lane_pos[i]])
+            if lane_chain[i]
+            else np.zeros(lang_dim, np.float32)
             for i in range(num_envs)
         ])
         actions, state = policy.step(obs_batch, embs, state, replan)
@@ -232,25 +239,15 @@ def evaluate_policy_batched(
             elif lane_steps[i] % policy.replan_freq == 0:
                 replan[i] = True
 
-    n = len(sequences)
+    from hulc_tpu.evaluation.lh_eval import build_results, write_results
+
     chain_successes = np.zeros(CHAIN_LEN, np.int64)
     for done in done_counts.values():
         for k in range(done):
             chain_successes[k] += 1
-    results = {
-        str(epoch): {
-            "avg_seq_len": float(np.mean(list(done_counts.values()))),
-            "chain_sr": {str(k + 1): float(chain_successes[k] / n) for k in range(CHAIN_LEN)},
-            "task_sr": {
-                t: float(task_successes[t] / task_attempts[t]) for t in sorted(task_attempts)
-            },
-        }
-    }
-    if output_dir is not None:
-        output_dir = pathlib.Path(output_dir)
-        output_dir.mkdir(parents=True, exist_ok=True)
-        path = output_dir / "results.json"
-        existing = json.loads(path.read_text()) if path.exists() else {}
-        existing.update(results)
-        path.write_text(json.dumps(existing, indent=2))
+    results = build_results(
+        epoch, list(done_counts.values()), chain_successes, len(sequences),
+        task_successes, task_attempts,
+    )
+    write_results(results, output_dir)
     return results

@@ -98,32 +98,33 @@ def main(argv=None):
     sequences = get_sequences(args.num_sequences, tasks=task_pool, seed=args.seed)
 
     out_dir = run_dir / "evaluation"
+    batched_envs = None  # created once, reused across checkpoints
     for path in paths:
         epoch = ckpt.checkpoint_epoch(path)
         params = ckpt.restore_params(path, template)
         if args.batched:
             from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
 
-            if args.env_factory:
-                factory_fn = _load_env_factory(args.env_factory)
-
-                def env_factory():
-                    return factory_fn()[0]
-            else:
-                env_factory = FakeCalvinEnv
+            if batched_envs is None:
+                if args.env_factory:
+                    factory_fn = _load_env_factory(args.env_factory)
+                    batched_envs = [factory_fn()[0] for _ in range(args.num_envs)]
+                else:
+                    batched_envs = [FakeCalvinEnv() for _ in range(args.num_envs)]
             results = evaluate_policy_batched(
-                cfg, params, env_factory,
+                cfg, params,
                 num_sequences=args.num_sequences,
                 num_envs=args.num_envs,
                 ep_len=args.ep_len,
                 oracle=oracle,
                 sequences=sequences,
                 lang_embeddings=lang_embeddings
-                or {t: np.zeros(384, np.float32) for t in task_pool},
+                or {t: np.zeros(cfg.lang_dim, np.float32) for t in task_pool},
                 statistics=stats,
                 epoch=epoch,
                 output_dir=out_dir,
                 seed=args.seed,
+                envs=batched_envs,
             )
             r = results[str(epoch)]
             print(

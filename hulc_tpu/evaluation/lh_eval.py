@@ -134,22 +134,33 @@ def evaluate_policy(
             chain_successes[k] += 1
         seq_lens.append(done_count)
 
-    n = len(sequences)
-    results = {
+    results = build_results(epoch, seq_lens, chain_successes, len(sequences), task_successes, task_attempts)
+    write_results(results, output_dir)
+    return results
+
+
+def build_results(epoch, seq_lens, chain_successes, n_sequences, task_successes, task_attempts) -> Dict:
+    """Assemble the results.json schema (shared with the batched evaluator)."""
+    return {
         str(epoch): {
             "avg_seq_len": float(np.mean(seq_lens)),
-            "chain_sr": {str(k + 1): float(chain_successes[k] / n) for k in range(CHAIN_LEN)},
+            "chain_sr": {
+                str(k + 1): float(chain_successes[k] / n_sequences) for k in range(CHAIN_LEN)
+            },
             "task_sr": {
                 t: float(task_successes[t] / task_attempts[t]) for t in sorted(task_attempts)
             },
         }
     }
 
-    if output_dir is not None:
-        output_dir = pathlib.Path(output_dir)
-        output_dir.mkdir(parents=True, exist_ok=True)
-        path = output_dir / "results.json"
-        existing = json.loads(path.read_text()) if path.exists() else {}
-        existing.update(results)
-        path.write_text(json.dumps(existing, indent=2))
-    return results
+
+def write_results(results: Dict, output_dir) -> None:
+    """Merge-update <output_dir>/results.json (no-op when output_dir is None)."""
+    if output_dir is None:
+        return
+    output_dir = pathlib.Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    path = output_dir / "results.json"
+    existing = json.loads(path.read_text()) if path.exists() else {}
+    existing.update(results)
+    path.write_text(json.dumps(existing, indent=2))
