@@ -121,7 +121,8 @@ class PlanRecognitionConfig:
     birnn_hidden_size: int = 2048
     birnn_num_layers: int = 2
     birnn_dropout: float = 0.0
-    birnn_cell: str = "rnn"  # "rnn" | "gru"
+    # reference birnn.yaml uses nn.RNN with torch's DEFAULT tanh nonlinearity
+    birnn_cell: str = "rnn_tanh"  # "rnn_tanh" | "rnn" | "gru"
     in_features: int = -1  # resolved
 
 

@@ -396,9 +396,10 @@ def convert_openai_clip(state_dict: Dict[str, Any], model_name: str = "RN50") ->
                     "bn2": bn(f"{p}.bn2"),
                     "bn3": bn(f"{p}.bn3"),
                 }
-                if f"{p}.downsample.1.weight" in sd:
-                    blk["downsample_conv"] = conv(f"{p}.downsample.1")
-                    blk["downsample_bn"] = bn(f"{p}.downsample.2")
+                # downsample = Sequential("-1": AvgPool, "0": Conv, "1": BN)
+                if f"{p}.downsample.0.weight" in sd:
+                    blk["downsample_conv"] = conv(f"{p}.downsample.0")
+                    blk["downsample_bn"] = bn(f"{p}.downsample.1")
                 visual[f"layer{li + 1}_{bi}"] = blk
         ap = "visual.attnpool"
         visual["attnpool"] = {

@@ -222,6 +222,7 @@ class HulcModel(nn.Module):
         latent_goal: Array,
         actions: Array,
         robot_obs: Array,
+        kl_beta: Optional[Array] = None,
     ) -> Dict[str, Any]:
         """Validation pass (hulc.py:301-388): decode with BOTH plan sources."""
         k_pp, k_pr, k_act_pp, k_act_pr = jax.random.split(rng, 4)
@@ -249,7 +250,8 @@ class HulcModel(nn.Module):
             "sampled_plan_pr": sampled_plan_pr,
             "action_loss_pp": action_loss_pp,
             "action_loss_pr": action_loss_pr,
-            "kl_loss": kl_loss * self.cfg.loss.kl_beta,
+            # scaled by the ANNEALED beta when provided (matches training)
+            "kl_loss": kl_loss * (self.cfg.loss.kl_beta if kl_beta is None else kl_beta),
             "mae_pp": mae(sample_act_pp),
             "mae_pr": mae(sample_act_pr),
             "gripper_sr_pp": gripper_sr(sample_act_pp),
@@ -323,7 +325,7 @@ class HulcModel(nn.Module):
         per_mod: Dict[str, Array] = {}
 
         for scope, mod_batch in batch.items():
-            rng, k_enc, k_plan = jax.random.split(rng, 3)
+            rng, k_plan = jax.random.split(rng)
             perceptual_emb, visual_emb = self.encode(mod_batch, deterministic=False)
             if cfg.state_recons:
                 totals["proprio_loss"] += self.perceptual_encoder.state_reconstruction_loss(
@@ -431,7 +433,9 @@ class HulcModel(nn.Module):
             "seq_feat": seq_feat,
         }
 
-    def val_metrics(self, rng: Array, batch: Dict[str, ModalityBatch]) -> Dict[str, Any]:
+    def val_metrics(
+        self, rng: Array, batch: Dict[str, ModalityBatch], kl_beta: Optional[Array] = None
+    ) -> Dict[str, Any]:
         """Validation metrics for one combined batch (hulc.py:739-841)."""
         cfg = self.cfg
         out: Dict[str, Any] = {}
@@ -443,10 +447,15 @@ class HulcModel(nn.Module):
                 latent_goal = self.encode_language_goal(mod_batch.lang)
             else:
                 latent_goal = self.encode_visual_goal(perceptual_emb[:, -1])
-            val_fn = self.gcbc_val if cfg.model_kind == "gcbc" else self.lmp_val
-            metrics = val_fn(
-                k, perceptual_emb, latent_goal, mod_batch.actions, mod_batch.state_info_robot_obs
-            )
+            if cfg.model_kind == "gcbc":
+                metrics = self.gcbc_val(
+                    k, perceptual_emb, latent_goal, mod_batch.actions, mod_batch.state_info_robot_obs
+                )
+            else:
+                metrics = self.lmp_val(
+                    k, perceptual_emb, latent_goal, mod_batch.actions,
+                    mod_batch.state_info_robot_obs, kl_beta,
+                )
             if "lang" in scope and cfg.use_clip_auxiliary_loss:
                 out["val_pred_clip_loss"] = self.clip_loss(
                     metrics["seq_feat"], latent_goal, mod_batch.use_for_aux_lang_loss

@@ -127,7 +127,9 @@ def _symmetric_uniform(bound: float):
 class ScanRNN(nn.Module):
     """Multi-layer unidirectional RNN over (B, S, F) with explicit carry.
 
-    cell: "rnn" (relu, torch nn.RNN), "gru" (torch nn.GRU), or "lstm".
+    cell: "rnn" (relu, the reference decoder's nn.RNN(nonlinearity=relu)),
+    "rnn_tanh" (torch nn.RNN default — the reference MCIL BiRNN), "gru", or
+    "lstm".
     Carry layout: (num_layers, B, H) for rnn/gru; a (h, c) tuple of that
     shape for lstm. Pass ``carry=None`` to start from zeros.
 
@@ -144,7 +146,7 @@ class ScanRNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _gate_mult(self) -> int:
-        return {"rnn": 1, "gru": 3, "lstm": 4}[self.cell]
+        return {"rnn": 1, "rnn_tanh": 1, "gru": 3, "lstm": 4}[self.cell]
 
     def init_carry(self, batch_size: int):
         shape = (self.num_layers, batch_size, self.hidden_size)
@@ -191,8 +193,9 @@ class ScanRNN(nn.Module):
             cell = self.cell
 
             def step(h, xp):
-                if cell == "rnn":
-                    new_h = nn.relu(xp + h @ w_hh + b_hh)
+                if cell in ("rnn", "rnn_tanh"):
+                    pre = xp + h @ w_hh + b_hh
+                    new_h = nn.relu(pre) if cell == "rnn" else jnp.tanh(pre)
                     return new_h, new_h
                 if cell == "gru":
                     hp = h @ w_hh + b_hh

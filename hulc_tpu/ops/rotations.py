@@ -175,16 +175,25 @@ def axis_angle_to_quaternion(axis_angle: Array) -> Array:
 
 
 def quaternion_to_axis_angle(quaternions: Array) -> Array:
-    """Quaternion (..., 4) (w, x, y, z) -> axis-angle (..., 3)."""
+    """Quaternion (..., 4) (w, x, y, z) -> axis-angle (..., 3).
+
+    pytorch3d-style formulation: xyz / (sin(angle/2) / angle), with the
+    Taylor branch keyed on the ANGLE (not |xyz|) so w near -1 (angle ~ 2*pi,
+    tiny xyz) still returns the full-turn rotation.
+    """
     q = quaternions.astype(jnp.float32)
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     norm_xyz = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
     half = jnp.arctan2(norm_xyz, q[..., :1])
     angle = 2.0 * half
     eps = 1e-6
-    small = norm_xyz < eps
-    scale = jnp.where(small, 2.0 + (angle * angle) / 12.0, angle / jnp.where(small, 1.0, norm_xyz))
-    return q[..., 1:] * scale
+    small = jnp.abs(angle) < eps
+    sin_half_over_angle = jnp.where(
+        small,
+        0.5 - (angle * angle) / 48.0,
+        jnp.sin(half) / jnp.where(small, 1.0, angle),
+    )
+    return q[..., 1:] / sin_half_over_angle
 
 
 def axis_angle_to_matrix(axis_angle: Array) -> Array:

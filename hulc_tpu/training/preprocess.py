@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from hulc_tpu.config import HulcConfig, VisionEncoderConfig
 from hulc_tpu.models.hulc import ModalityBatch
-from hulc_tpu.ops.image_ops import preprocess_rgb_seq, resize_bilinear
+from hulc_tpu.ops.image_ops import preprocess_rgb_seq, random_shift, resize_bilinear
 
 Array = jax.Array
 
@@ -25,22 +25,57 @@ def _prep_one(enc_cfg: VisionEncoderConfig, imgs, rng, train, dtype):
         # e.g. 200px dataset images into a 224px CLIP encoder
         imgs = resize_bilinear(imgs, enc_cfg.input_size, enc_cfg.input_size)
     if enc_cfg.kind == "clip":
+        # reference clip.yaml: Resize 224 -> RandomShiftsAug(10) -> scale ->
+        # CLIP normalize
         from hulc_tpu.models.clip import clip_preprocess
 
-        b, s = imgs.shape[:2]
+        b, s, h, w, c = imgs.shape
+        if train and rng is not None and enc_cfg.shift_pad > 0:
+            flat = imgs.reshape(b * s, h, w, c).astype(jnp.bfloat16)
+            imgs = random_shift(rng, flat, enc_cfg.shift_pad).reshape(b, s, h, w, c)
         return clip_preprocess(imgs).astype(dtype)
+    if enc_cfg.kind == "tactile":
+        # reference rand_shift.yaml rgb_tactile: Resize 70 -> RandomCrop 64
+        # -> scale -> Normalize(0.5, 0.5); random crop == random_shift with
+        # pad (70-64)/2 after resizing to the crop size
+        b, s, h, w, c = imgs.shape
+        imgs = resize_bilinear(imgs, enc_cfg.input_size + 6, enc_cfg.input_size + 6)
+        crop_pad = 3
+        flat = imgs.reshape((b * s,) + imgs.shape[2:])
+        if train and rng is not None:
+            flat = random_shift(rng, flat.astype(jnp.bfloat16), crop_pad)
+            flat = flat[:, crop_pad:-crop_pad, crop_pad:-crop_pad]
+        else:
+            flat = flat[:, crop_pad:-crop_pad, crop_pad:-crop_pad]
+        x = flat.astype(jnp.float32) * (1.0 / 255.0)
+        x = (x - 0.5) / 0.5
+        return x.reshape((b, s) + x.shape[1:]).astype(dtype)
     return preprocess_rgb_seq(
         imgs, rng, enc_cfg.shift_pad if train else 0, out_dtype=dtype
     )
+
+
+def _prep_depth(depth, rng, train, gaussian_std=0.0, gamma_noise=False):
+    """Reference depth transforms: AddDepthNoise(1000,1000) on depth_static,
+    AddGaussianNoise(0.01) on depth_gripper (train only)."""
+    x = depth.astype(jnp.float32)
+    if not train or rng is None:
+        return x
+    if gamma_noise:
+        mult = jax.random.gamma(rng, 1000.0, x.shape) / 1000.0
+        return x * mult
+    if gaussian_std > 0.0:
+        return x + gaussian_std * jax.random.normal(rng, x.shape)
+    return x
 
 
 def preprocess_modality(
     cfg: HulcConfig, batch: ModalityBatch, rng: Optional[Array], train: bool
 ) -> ModalityBatch:
     pe = cfg.perceptual_encoder
-    k_static = k_gripper = None
+    k_static = k_gripper = k_tactile = k_ds = k_dg = None
     if train and rng is not None:
-        k_static, k_gripper = jax.random.split(rng)
+        k_static, k_gripper, k_tactile, k_ds, k_dg = jax.random.split(rng, 5)
     dtype = cfg.dtype
     updates = {
         "rgb_static": _prep_one(pe.rgb_static, batch.rgb_static, k_static, train, dtype)
@@ -49,6 +84,14 @@ def preprocess_modality(
         updates["rgb_gripper"] = _prep_one(
             pe.rgb_gripper, batch.rgb_gripper, k_gripper, train, dtype
         )
+    if batch.rgb_tactile is not None and pe.tactile is not None:
+        updates["rgb_tactile"] = _prep_one(
+            pe.tactile, batch.rgb_tactile, k_tactile, train, dtype
+        )
+    if batch.depth_static is not None and pe.depth_static is not None:
+        updates["depth_static"] = _prep_depth(batch.depth_static, k_ds, train, gamma_noise=True)
+    if batch.depth_gripper is not None and pe.depth_gripper is not None:
+        updates["depth_gripper"] = _prep_depth(batch.depth_gripper, k_dg, train, gaussian_std=0.01)
     return batch._replace(**updates)
 
 

@@ -105,7 +105,7 @@ class _Mapper:
         }
 
 
-def _vision_static(m: _Mapper, prefix: str) -> Dict[str, Any]:
+def _vision_static(m: _Mapper, prefix: str, learnable_temp: bool = False) -> Dict[str, Any]:
     out = {
         "conv0": m.conv(f"{prefix}.conv_model.0"),
         "conv1": m.conv(f"{prefix}.conv_model.2"),
@@ -115,7 +115,10 @@ def _vision_static(m: _Mapper, prefix: str) -> Dict[str, Any]:
         "ln": m.layernorm(f"{prefix}.ln"),
     }
     if m.has(f"{prefix}.spatial_softmax.temperature"):
-        m.used.add(f"{prefix}.spatial_softmax.temperature")  # fixed buffer
+        temp = m.get(f"{prefix}.spatial_softmax.temperature")
+        if learnable_temp:
+            # reference spatial_softmax_temp=null -> trained nn.Parameter
+            out["spatial_softmax"] = {"temperature": temp.reshape(1)}
     return out
 
 
@@ -163,7 +166,11 @@ def convert_state_dict(
     # ---- perceptual encoders -------------------------------------------
     pe: Dict[str, Any] = {}
     if m.has("perceptual_encoder.rgb_static_encoder.fc2.weight"):
-        pe["rgb_static"] = _vision_static(m, "perceptual_encoder.rgb_static_encoder")
+        pe["rgb_static"] = _vision_static(
+            m,
+            "perceptual_encoder.rgb_static_encoder",
+            learnable_temp=cfg.perceptual_encoder.rgb_static.spatial_softmax_temp is None,
+        )
     if cfg.perceptual_encoder.rgb_gripper is not None and m.has(
         "perceptual_encoder.rgb_gripper_encoder.fc2.weight"
     ):

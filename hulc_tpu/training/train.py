@@ -76,7 +76,7 @@ def main(argv=None):
     run_dir = args.run_dir or f"runs/{args.config}"
     tcfg = TrainerConfig(
         run_dir=run_dir,
-        max_epochs=args.epochs or (1 if args.steps else 100),
+        max_epochs=args.epochs or (10**9 if args.steps else 100),  # --steps caps, not epochs
         lr=args.lr,
         lr_schedule=args.lr_schedule,
         kl_schedule=KLSchedule(kind=args.kl_schedule),

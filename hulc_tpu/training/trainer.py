@@ -70,6 +70,8 @@ class TrainerConfig:
     # reference to port — SURVEY.md §5)
     profile_start: Optional[int] = None
     profile_steps: int = 5
+    # cap validation batches per epoch (None = full val set)
+    val_max_batches: Optional[int] = 20
 
 
 class MetricLogger:
@@ -193,15 +195,22 @@ class Trainer:
     def make_val_step(self) -> Callable:
         cfg, model = self.cfg, self.model
 
-        def val_step(params, raw_batch, rng):
+        def val_step(params, raw_batch, rng, kl_beta):
             batch = preprocess_batch(cfg, raw_batch, rng=None, train=False)
-            metrics = model.apply({"params": params}, rng, batch, method=model.val_metrics)
+            metrics = model.apply(
+                {"params": params}, rng, batch, kl_beta, method=model.val_metrics
+            )
             # drop non-scalar outputs (sampled plans) for logging reduction
             return {k: v for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
 
         return jax.jit(
             val_step,
-            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh), replicated(self.mesh)),
+            in_shardings=(
+                replicated(self.mesh),
+                batch_sharding(self.mesh),
+                replicated(self.mesh),
+                replicated(self.mesh),
+            ),
             out_shardings=replicated(self.mesh),
         )
 
@@ -282,7 +291,7 @@ class Trainer:
             )
 
             if val_loader is not None and (epoch + 1) % tcfg.val_every_epochs == 0:
-                self.validate(state, val_loader, rng)
+                self.validate(state, val_loader, rng, kl_beta=kl_beta)
             for cb in callbacks or ():
                 cb.on_epoch_end(self, state, epoch)
             if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == max_epochs - 1:
@@ -295,15 +304,32 @@ class Trainer:
                 break
         return state
 
-    def validate(self, state: TrainState, val_loader, rng, max_batches: int = 20) -> Dict[str, float]:
+    def validate(
+        self,
+        state: TrainState,
+        val_loader,
+        rng,
+        max_batches: Optional[int] = None,
+        kl_beta=None,
+    ) -> Dict[str, float]:
+        """Run validation. max_batches (default TrainerConfig.val_max_batches)
+        caps the pass; the cap is logged when it truncates the val set."""
         if self._val_step is None:
             self._val_step = self.make_val_step()
+        if max_batches is None:
+            max_batches = self.tcfg.val_max_batches or len(val_loader)
+        if max_batches < len(val_loader):
+            print(f"[trainer] validation capped at {max_batches}/{len(val_loader)} batches")
+        if kl_beta is None:
+            kl_beta = jnp.asarray(self.cfg.loss.kl_beta, jnp.float32)
         agg: Dict[str, list] = {}
         for i, raw_batch in enumerate(val_loader):
             if i >= max_batches:
                 break
             raw_batch = shard_batch_tree(raw_batch, self.mesh)
-            metrics = jax.device_get(self._val_step(state.params, raw_batch, jax.random.fold_in(rng, i)))
+            metrics = jax.device_get(
+                self._val_step(state.params, raw_batch, jax.random.fold_in(rng, i), kl_beta)
+            )
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         mean = {k: float(np.mean(v)) for k, v in agg.items()}

@@ -137,3 +137,29 @@ def test_transformer_encoder_matches_torch():
 
     out = model.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), t_out, atol=2e-4)
+
+
+def test_scan_rnn_tanh_matches_torch_default():
+    """torch nn.RNN's DEFAULT nonlinearity is tanh (used by the MCIL BiRNN,
+    reference birnn.yaml rnn_type: nn.RNN)."""
+    torch.manual_seed(3)
+    t_rnn = torch.nn.RNN(F, H, num_layers=2, batch_first=True)  # tanh default
+    x = np.random.default_rng(4).normal(size=(B, S, F)).astype(np.float32)
+    with torch.no_grad():
+        t_out, _ = t_rnn(torch.from_numpy(x))
+    model = ScanRNN(hidden_size=H, num_layers=2, cell="rnn_tanh")
+    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = _set_rnn_params(params, t_rnn, 2)
+    out, _ = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-4)
+
+
+def test_quaternion_axis_angle_w_negative():
+    """w near -1 (angle ~ 2pi, tiny xyz) must return the full-turn rotation,
+    not the near-zero Taylor branch (regression for the |xyz|-keyed branch)."""
+    from hulc_tpu.ops.rotations import quaternion_to_axis_angle
+
+    aa = np.asarray(quaternion_to_axis_angle(jnp.asarray([[-1.0, 1e-7, 0.0, 0.0]])))
+    # fp32 sin near pi limits precision; assert the magnitude is O(2pi),
+    # far from the old bug's ~5e-7
+    assert np.linalg.norm(aa) > 3.0
