@@ -132,7 +132,14 @@ class EpisodeStore:
         key_meta = {k: (first[k].shape, first[k].dtype) for k in self.keys}
         try:
             shm = ShmEpisodeCache.attach(name, key_meta)
-            shm.wait_ready()
+            try:
+                # bounded wait: a writer killed mid-populate leaves a
+                # never-ready arena — reclaim and repopulate
+                shm.wait_ready(timeout_s=1800.0)
+            except TimeoutError:
+                shm.close()
+                ShmEpisodeCache.unlink(name)
+                shm = ShmEpisodeCache.populate_from_store(name, self)
         except FileNotFoundError:
             shm = ShmEpisodeCache.populate_from_store(name, self)
         self.shm = shm

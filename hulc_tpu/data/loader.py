@@ -151,25 +151,35 @@ class CombinedLoader:
         stop = threading.Event()
         steps = len(self)
 
+        def put_bounded(item) -> bool:
+            # bounded put so an early-terminated consumer (validate()
+            # breaking at max_batches) doesn't leave us blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
-            for _ in range(steps):
-                if stop.is_set():
-                    return
-                batch = self._make()
-                # bounded put so an early-terminated consumer (validate()
-                # breaking at max_batches) doesn't leave us blocked forever
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+            try:
+                for _ in range(steps):
+                    if stop.is_set():
+                        return
+                    if not put_bounded(self._make()):
+                        return
+            except BaseException as exc:  # surface I/O errors to the consumer
+                put_bounded(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             for _ in range(steps):
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
             t.join(timeout=5.0)

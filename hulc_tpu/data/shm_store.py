@@ -105,13 +105,32 @@ class ShmEpisodeCache:
                 raise FileNotFoundError(f"shm arena {name} not found")
             time.sleep(0.5)
 
+    @staticmethod
+    def unlink(name: str) -> None:
+        """Remove a (possibly stale) arena by name."""
+        p = pathlib.Path("/dev/shm") / name.lstrip("/")
+        try:
+            p.unlink()
+        except FileNotFoundError:
+            pass
+
     @classmethod
     def populate_from_store(cls, name: str, store, chunk: int = 256) -> "ShmEpisodeCache":
-        """Fill an arena from an EpisodeStore (the 'warm-up' pass)."""
+        """Fill an arena from an EpisodeStore (the 'warm-up' pass).
+
+        Creation uses O_EXCL: if another process won the race, attach to its
+        arena and wait for readiness instead of clobbering it mid-write.
+        """
         first = store.get_window(store.episode_ranges[0][0], 1)
         key_meta = {k: (v.shape[1:], v.dtype) for k, v in first.items()}
         n = store._max_frame - store._min_frame + 1
-        cache = cls.create(name, n, key_meta)
+        try:
+            cache = cls.create(name, n, key_meta)
+        except OSError:
+            other = cls.attach(name, key_meta, timeout_s=60.0)
+            other.wait_ready()
+            other.frame_offset = store._min_frame
+            return other
         for off in range(0, n, chunk):
             count = min(chunk, n - off)
             window = store.get_window(store._min_frame + off, count)

@@ -28,7 +28,7 @@ import numpy as np
 from hulc_tpu.config import HulcConfig
 from hulc_tpu.data.dataset import DatasetStatistics
 from hulc_tpu.evaluation.lh_eval import CHAIN_LEN, get_sequences
-from hulc_tpu.evaluation.policy import _keep_indices
+from hulc_tpu.evaluation.policy import _keep_indices, proprio_settings
 from hulc_tpu.evaluation.tasks import SceneObsTasks
 from hulc_tpu.models import make_model
 from hulc_tpu.models.decoders import decoder_carry
@@ -58,6 +58,7 @@ class BatchedHulcPolicy:
         stats = statistics
         self._rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
         self._rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
+        self._keep, self._normalize = proprio_settings(cfg)
         self.replan_freq = cfg.replan_freq
         self._rng = jax.random.key(seed)
         model = self.model
@@ -120,7 +121,12 @@ class BatchedHulcPolicy:
         rgb_static = np.stack([o["rgb_obs"]["rgb_static"] for o in obs_batch])[:, None]
         rgb_gripper = np.stack([o["rgb_obs"]["rgb_gripper"] for o in obs_batch])[:, None]
         rob_raw = np.stack([o["robot_obs"] for o in obs_batch]).astype(np.float32)[:, None]
-        rob_norm = _keep_indices((rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)).astype(np.float32)
+        scaled = (
+            (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)
+            if self._normalize
+            else rob_raw
+        )
+        rob_norm = _keep_indices(scaled, self._keep).astype(np.float32)
         self._rng, k = jax.random.split(self._rng)
         plan, goal, carry = state
         actions, plan, goal, carry = self._step(
@@ -146,6 +152,8 @@ def evaluate_policy_batched(
     output_dir=None,
     seed: int = 0,
     envs: Optional[List] = None,
+    policy: Optional[BatchedHulcPolicy] = None,
+    results_name: str = "results.json",
 ) -> Dict:
     """LH-MTLC protocol with E lockstep environments.
 
@@ -164,11 +172,18 @@ def evaluate_policy_batched(
     lang_dim = (
         next(iter(lang_embeddings.values())).shape[-1] if lang_embeddings else cfg.lang_dim
     )
+    # no lane should outnumber the work: idle lanes would never receive an
+    # observation (and a bigger policy batch is pure waste)
+    num_envs = min(num_envs, len(sequences))
     if envs is None:
         envs = [env_factory() for _ in range(num_envs)]
     else:
+        envs = envs[:num_envs] if len(envs) > num_envs else envs
         num_envs = len(envs)
-    policy = BatchedHulcPolicy(cfg, params, num_envs, statistics, seed)
+    if policy is None:
+        policy = BatchedHulcPolicy(cfg, params, num_envs, statistics, seed)
+    else:
+        policy.params = params  # reuse compiled step across checkpoints
     state = policy.initial_state()
 
     chain_queue = collections.deque(enumerate(sequences))
@@ -249,5 +264,6 @@ def evaluate_policy_batched(
         epoch, list(done_counts.values()), chain_successes, len(sequences),
         task_successes, task_attempts,
     )
-    write_results(results, output_dir)
+    write_results(results, output_dir, results_name)
+    results["_policy"] = policy  # caller may reuse the compiled policy
     return results

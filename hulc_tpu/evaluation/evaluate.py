@@ -42,6 +42,10 @@ def main(argv=None):
         "that can create independent instances)",
     )
     p.add_argument("--num-envs", type=int, default=64)
+    p.add_argument(
+        "--results-name", default="results.json",
+        help="results filename (run_parallel gives each worker its own)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -99,6 +103,8 @@ def main(argv=None):
 
     out_dir = run_dir / "evaluation"
     batched_envs = None  # created once, reused across checkpoints
+    batched_policy = None  # compiled once, params swapped per checkpoint
+    policy = None
     for path in paths:
         epoch = ckpt.checkpoint_epoch(path)
         params = ckpt.restore_params(path, template)
@@ -108,9 +114,10 @@ def main(argv=None):
             if batched_envs is None:
                 if args.env_factory:
                     factory_fn = _load_env_factory(args.env_factory)
-                    batched_envs = [factory_fn()[0] for _ in range(args.num_envs)]
+                    # reuse the oracle-creation env as the first lane
+                    batched_envs = [env] + [factory_fn()[0] for _ in range(args.num_envs - 1)]
                 else:
-                    batched_envs = [FakeCalvinEnv() for _ in range(args.num_envs)]
+                    batched_envs = [env] + [FakeCalvinEnv() for _ in range(args.num_envs - 1)]
             results = evaluate_policy_batched(
                 cfg, params,
                 num_sequences=args.num_sequences,
@@ -125,18 +132,24 @@ def main(argv=None):
                 output_dir=out_dir,
                 seed=args.seed,
                 envs=batched_envs,
+                policy=batched_policy,
+                results_name=args.results_name,
             )
+            batched_policy = results.pop("_policy", batched_policy)
             r = results[str(epoch)]
             print(
                 f"[eval] epoch {epoch} (batched x{args.num_envs}): "
                 f"avg_seq_len={r['avg_seq_len']:.3f}"
             )
             continue
-        policy = HulcPolicy(cfg, params, statistics=stats, seed=args.seed)
+        if policy is None:
+            policy = HulcPolicy(cfg, params, statistics=stats, seed=args.seed)
+        else:
+            policy.params = params  # reuse the compiled step functions
         if lang_embeddings:
             policy.lang_embeddings = lang_embeddings
         else:
-            policy.lang_embeddings = {t: np.zeros(384, np.float32) for t in task_pool}
+            policy.lang_embeddings = {t: np.zeros(cfg.lang_dim, np.float32) for t in task_pool}
         results = evaluate_policy(
             policy,
             env,
@@ -147,6 +160,7 @@ def main(argv=None):
             sequences=sequences,
             output_dir=out_dir,
             seed=args.seed,
+            results_name=args.results_name,
         )
         r = results[str(epoch)]
         print(

@@ -66,7 +66,7 @@ def main(argv=None):
     latest = ckpt.latest_checkpoint(args.run_dir)
     params = ckpt.restore_params(latest, template) if latest else template
     policy = HulcPolicy(cfg, params)
-    policy.lang_embeddings = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+    policy.lang_embeddings = {t: np.zeros(cfg.lang_dim, np.float32) for t in ALL_TASKS}
     env = FakeCalvinEnv()
     _terminal_loop(env, policy, SceneObsTasks(), {t: t for t in ALL_TASKS}, args.ep_len)
 

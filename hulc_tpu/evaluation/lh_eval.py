@@ -35,6 +35,7 @@ def get_sequences(
     which filters by scene-state feasibility; plug a custom sampler for
     exact-protocol runs with the real env)."""
     rng = np.random.default_rng(seed)
+    chain_len = min(chain_len, len(tasks))  # small pools -> shorter chains
     chains = []
     for _ in range(num_sequences):
         chains.append(list(rng.choice(list(tasks), size=chain_len, replace=False)))
@@ -98,6 +99,7 @@ def evaluate_policy(
     seed: int = 0,
     num_videos: int = 0,
     video_dir: Optional[pathlib.Path] = None,
+    results_name: str = "results.json",
 ) -> Dict:
     """Run the LH-MTLC protocol; returns the per-epoch results dict.
 
@@ -135,7 +137,7 @@ def evaluate_policy(
         seq_lens.append(done_count)
 
     results = build_results(epoch, seq_lens, chain_successes, len(sequences), task_successes, task_attempts)
-    write_results(results, output_dir)
+    write_results(results, output_dir, results_name)
     return results
 
 
@@ -154,13 +156,17 @@ def build_results(epoch, seq_lens, chain_successes, n_sequences, task_successes,
     }
 
 
-def write_results(results: Dict, output_dir) -> None:
-    """Merge-update <output_dir>/results.json (no-op when output_dir is None)."""
+def write_results(results: Dict, output_dir, results_name: str = "results.json") -> None:
+    """Merge-update <output_dir>/<results_name> (no-op when output_dir is None).
+
+    NOTE: the merge is read-modify-write without locking; concurrent writers
+    must use distinct results_name files (run_parallel does) and merge after.
+    """
     if output_dir is None:
         return
     output_dir = pathlib.Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    path = output_dir / "results.json"
+    path = output_dir / results_name
     existing = json.loads(path.read_text()) if path.exists() else {}
     existing.update(results)
     path.write_text(json.dumps(existing, indent=2))

@@ -97,10 +97,11 @@ class ClipGroundtruthCallback:
 
         model = trainer.model
         metrics_acc = []
-        for i, raw in enumerate(self.val_loader):
-            if i >= self.max_batches:
-                break
-            lang_batch = raw["lang"]
+        lang_loader = self.val_loader.loaders["lang"]
+        for i in range(self.max_batches):
+            # lang-only deterministic batches: skips assembling (and throwing
+            # away) the vision-modality image gathers
+            lang_batch = lang_loader.deterministic_batch(i)
             prep = preprocess_batch(trainer.cfg, {"lang": lang_batch}, rng=None, train=False)
             emb, _ = model.apply({"params": state.params}, prep["lang"], method=model.encode)
             _, seq_feat = model.apply(

@@ -47,6 +47,14 @@ def _keep_indices(robot_obs, keep=((0, 7), (14, 15))):
     return np.concatenate([robot_obs[..., a:b] for a, b in keep], axis=-1)
 
 
+def proprio_settings(cfg):
+    """(keep_indices, normalize) matching the training loader (loader.py)."""
+    p = cfg.perceptual_encoder.proprio
+    if p is not None:
+        return tuple(p.keep_indices), p.normalize
+    return ((0, 7), (14, 15)), True
+
+
 class HulcPolicy:
     """reset()/step(obs, goal) driving the jitted model."""
 
@@ -66,6 +74,7 @@ class HulcPolicy:
         stats = statistics
         self._rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
         self._rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
+        self._keep, self._normalize = proprio_settings(cfg)
         self._state: Optional[PolicyState] = None
         self._base_rng = jax.random.key(seed)
 
@@ -180,5 +189,10 @@ class HulcPolicy:
         rgb_static = np.asarray(obs["rgb_obs"]["rgb_static"])[None, None]  # (1,1,H,W,3)
         rgb_gripper = np.asarray(obs["rgb_obs"]["rgb_gripper"])[None, None]
         rob_raw = np.asarray(obs["robot_obs"], np.float32).reshape(1, 1, 15)
-        rob_norm = _keep_indices((rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6))
+        scaled = (
+            (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)
+            if self._normalize
+            else rob_raw
+        )
+        rob_norm = _keep_indices(scaled, self._keep)
         return rgb_static, rgb_gripper, rob_norm.astype(np.float32), rob_raw

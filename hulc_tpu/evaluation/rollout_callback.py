@@ -26,6 +26,7 @@ class RolloutLongHorizonCallback:
         skip_epochs: int = 1,
         instructions: Optional[Dict[str, str]] = None,
         lang_embeddings: Optional[Dict] = None,
+        statistics=None,
         seed: int = 0,
     ):
         self.env = env
@@ -36,6 +37,7 @@ class RolloutLongHorizonCallback:
         self.skip_epochs = skip_epochs
         self.instructions = instructions
         self.lang_embeddings = lang_embeddings
+        self.statistics = statistics
         self.seed = seed
         self.best_avg_seq_len = -1.0
 
@@ -45,14 +47,18 @@ class RolloutLongHorizonCallback:
         from hulc_tpu.data.language import restrict_task_pool
         from hulc_tpu.evaluation.tasks import ALL_TASKS
 
-        policy = HulcPolicy(trainer.cfg, state.params, seed=self.seed)
+        policy = HulcPolicy(
+            trainer.cfg, state.params, statistics=self.statistics, seed=self.seed
+        )
         pool = restrict_task_pool(self.lang_embeddings, ALL_TASKS)
         if self.lang_embeddings:
             policy.lang_embeddings = self.lang_embeddings
         else:
             import numpy as np
 
-            policy.lang_embeddings = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+            policy.lang_embeddings = {
+                t: np.zeros(trainer.cfg.lang_dim, np.float32) for t in ALL_TASKS
+            }
         sequences = get_sequences(
             self.num_sequences, tasks=pool, seed=self.seed + epoch,
             chain_len=min(5, len(pool)),

@@ -46,6 +46,8 @@ def main(argv=None):
             "--checkpoint", ",".join(str(e) for e in shard),
             "--num-sequences", str(args.num_sequences),
             "--ep-len", str(args.ep_len),
+            # per-worker file: the results.json merge is not lock-protected
+            "--results-name", f"results_worker{worker}.json",
         ]
         if args.dataset_dir:
             cmd += ["--dataset-dir", args.dataset_dir]
@@ -57,7 +59,20 @@ def main(argv=None):
     codes = [p_.wait() for p_ in procs]
     if any(codes):
         raise SystemExit(f"worker failures: {codes}")
-    print(f"[run_parallel] evaluated epochs {sorted(epochs)} with {len(procs)} workers")
+
+    # merge the per-worker files into the canonical results.json
+    import json
+
+    out_dir = pathlib.Path(args.run_dir) / "evaluation"
+    merged = {}
+    final = out_dir / "results.json"
+    if final.exists():
+        merged.update(json.loads(final.read_text()))
+    for f in sorted(out_dir.glob("results_worker*.json")):
+        merged.update(json.loads(f.read_text()))
+        f.unlink()
+    final.write_text(json.dumps(merged, indent=2))
+    print(f"[run_parallel] evaluated epochs {sorted(epochs)} with {len(procs)} workers -> {final}")
 
 
 if __name__ == "__main__":

@@ -89,7 +89,8 @@ void* hulc_shm_create(const char* shm_name, uint64_t n_frames, uint64_t n_keys,
   }
   hdr.total_bytes = offset;
 
-  shm_unlink(shm_name);
+  // O_EXCL without a pre-unlink: when two processes cold-start, exactly one
+  // creates (and populates); the loser attaches and waits on the ready flag.
   int fd = shm_open(shm_name, O_CREAT | O_RDWR | O_EXCL, 0600);
   if (fd < 0) return nullptr;
   if (ftruncate(fd, (off_t)offset) != 0) {

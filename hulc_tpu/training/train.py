@@ -114,6 +114,8 @@ def main(argv=None):
             env, oracle = FakeCalvinEnv(), SceneObsTasks()
         emb_path = root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy"
         lang_embeddings = load_task_embeddings(emb_path) if emb_path.exists() else None
+        from hulc_tpu.data.dataset import DatasetStatistics
+
         callbacks.append(
             RolloutLongHorizonCallback(
                 env, oracle,
@@ -121,6 +123,7 @@ def main(argv=None):
                 ep_len=args.rollout_ep_len,
                 skip_epochs=0,
                 lang_embeddings=lang_embeddings,
+                statistics=DatasetStatistics.load(root / "validation"),
             )
         )
 
