@@ -42,23 +42,28 @@ def random_shift(rng: Array, imgs: Array, pad: int, method: str = "auto") -> Arr
       (B, H, W, C) shifted images, same dtype as input.
     """
     b, h, w, c = imgs.shape
-    hp, wp = h + 2 * pad, w + 2 * pad
-    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
     # Reference draws one shift per image for (x, y) jointly: shape (n, 1, 1, 2).
     shifts = jax.random.randint(rng, (b, 2), 0, 2 * pad + 1)
     if method == "auto":
         method = "matmul" if jax.default_backend() == "tpu" else "slice"
 
     if method == "slice":
+        padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
         def crop(img, s):
             return jax.lax.dynamic_slice(img, (s[0], s[1], 0), (h, w, c))
 
         return jax.vmap(crop)(padded, shifts)
 
+    # Replicate padding is folded into the selection: clamped source indices
+    # re-sample the edge row/col, so no padded copy is ever materialized and
+    # the contraction dim shrinks from H+2*pad to H (bit-identical output).
     acc = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    rows = jax.nn.one_hot(shifts[:, 0, None] + jnp.arange(h), hp, dtype=acc)  # (B, H, Hp)
-    cols = jax.nn.one_hot(shifts[:, 1, None] + jnp.arange(w), wp, dtype=acc)  # (B, W, Wp)
-    x = jnp.einsum("nrp,npwc->nrwc", rows, padded.astype(acc))
+    idx_r = jnp.clip(shifts[:, 0, None] + jnp.arange(h) - pad, 0, h - 1)
+    idx_c = jnp.clip(shifts[:, 1, None] + jnp.arange(w) - pad, 0, w - 1)
+    rows = jax.nn.one_hot(idx_r, h, dtype=acc)  # (B, H, H)
+    cols = jax.nn.one_hot(idx_c, w, dtype=acc)  # (B, W, W)
+    x = jnp.einsum("nrp,npwc->nrwc", rows, imgs.astype(acc))
     x = jnp.einsum("nwq,nrqc->nrwc", cols, x)
     return x.astype(imgs.dtype)
 
