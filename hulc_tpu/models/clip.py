@@ -287,7 +287,12 @@ class LangClip(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def convert_openai_clip(state_dict: Dict[str, Any], model_name: str = "RN50") -> Dict[str, Any]:
+def convert_openai_clip(
+    state_dict: Dict[str, Any],
+    model_name: str = "RN50",
+    text_heads: Optional[int] = None,
+    visual_heads: Optional[int] = None,
+) -> Dict[str, Any]:
     """OpenAI CLIP state_dict -> params for the modules above.
 
     Returns {"visual": ..., "text": ...}. Works on the fp32 state_dict of
@@ -353,7 +358,7 @@ def convert_openai_clip(state_dict: Dict[str, Any], model_name: str = "RN50") ->
     # ---- text tower -----------------------------------------------------
     t_width = sd["ln_final.weight"].shape[0]
     t_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")})
-    t_heads = t_width // 64
+    t_heads = text_heads or max(1, t_width // 64)  # real CLIP: 64 dims/head
     text = {
         "token_embedding": {"embedding": sd["token_embedding.weight"]},
         "positional_embedding": sd["positional_embedding"],
@@ -371,7 +376,7 @@ def convert_openai_clip(state_dict: Dict[str, Any], model_name: str = "RN50") ->
             "class_embedding": sd["visual.class_embedding"],
             "positional_embedding": sd["visual.positional_embedding"],
             "ln_pre": ln("visual.ln_pre"),
-            "transformer": resblocks("visual.transformer", v_width, v_width // 64, v_layers),
+            "transformer": resblocks("visual.transformer", v_width, visual_heads or max(1, v_width // 64), v_layers),
             "ln_post": ln("visual.ln_post"),
             "proj": sd["visual.proj"],
         }

@@ -164,3 +164,44 @@ def test_get_sequences_deterministic():
     b = get_sequences(5, seed=3)
     assert a == b
     assert all(len(c) == 5 and len(set(c)) == 5 for c in a)
+
+
+def test_calvin_env_adapter_contract():
+    """Adapter converts a calvin_env-shaped mock to our env contract."""
+    from hulc_tpu.evaluation.calvin_env_adapter import CalvinEnvAdapter
+
+    class MockCalvinEnv:
+        def __init__(self):
+            self.scene = np.zeros(24)
+
+        def _obs(self):
+            return {
+                "rgb_obs": {
+                    "rgb_static": np.zeros((200, 200, 3), np.uint8),
+                    "rgb_gripper": np.zeros((84, 84, 3), np.uint8),
+                },
+                "depth_obs": {"depth_static": np.zeros((200, 200))},
+                "robot_obs": np.zeros(15),
+            }
+
+        def reset(self, robot_obs=None, scene_obs=None):
+            if scene_obs is not None:
+                self.scene = np.asarray(scene_obs)
+            return self._obs()
+
+        def step(self, action):
+            self.scene[0] += 0.1
+            return self._obs(), 0.0, False, {}
+
+        def get_info(self):
+            return {"scene_obs": self.scene.copy()}
+
+    env = CalvinEnvAdapter(MockCalvinEnv())
+    obs = env.reset(scene_obs=np.ones(24))
+    assert obs["rgb_obs"]["rgb_static"].shape == (200, 200, 3)
+    assert obs["robot_obs"].shape == (15,)
+    obs2 = env.step(np.zeros(7))
+    assert obs2["robot_obs"].dtype == np.float32
+    info = env.get_info()
+    assert info["scene_obs"][0] > 1.0  # stepped
+    assert env.get_obs() is obs2
