@@ -285,3 +285,41 @@ def test_full_model_composed_forward(torch_modules, converted):
     np.testing.assert_allclose(np.asarray(emb), t_emb.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(goal), t_goal.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(state.logit), t_state.logit.numpy(), atol=5e-3)
+
+
+def test_import_checkpoint_roundtrip(tmp_path, torch_modules):
+    """torch .ckpt -> orbax run dir -> restored params drive the policy."""
+    import torch as _torch
+
+    from hulc_tpu.evaluation.policy import HulcPolicy
+    from hulc_tpu.training import checkpoint as ckpt_mod
+    from hulc_tpu.training.import_checkpoint import import_checkpoint
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    t = torch_modules
+    sd = {}
+    sd.update(prefixed(t.vis_static.state_dict(), "perceptual_encoder.rgb_static_encoder"))
+    sd.update(prefixed(t.vis_gripper.state_dict(), "perceptual_encoder.rgb_gripper_encoder"))
+    sd.update(prefixed(t.plan_proposal.state_dict(), "plan_proposal"))
+    sd.update(prefixed(t.plan_recognition.state_dict(), "plan_recognition"))
+    sd.update(prefixed(t.visual_goal.state_dict(), "visual_goal"))
+    sd.update(prefixed(t.language_goal.state_dict(), "language_goal"))
+    sd.update(prefixed(t.action_decoder.state_dict(), "action_decoder"))
+    ckpt_file = tmp_path / "epoch=7.ckpt"
+    _torch.save({"state_dict": sd}, ckpt_file)
+
+    run_dir = tmp_path / "run"
+    path, unused = import_checkpoint(ckpt_file, CFG, run_dir)
+    assert path.name == "epoch_7"
+
+    model = make_model(CFG)
+    batch = {"vis": example_batch(CFG, 1, 2), "lang": example_batch(CFG, 1, 2, lang=True)}
+    template = init_params(model, jax.random.key(0), batch)
+    restored = ckpt_mod.restore_params(path, template)
+    policy = HulcPolicy(CFG, restored)
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+
+    env = FakeCalvinEnv(static_px=200, gripper_px=84)
+    policy.reset()
+    action = policy.step(env.reset(), np.zeros(384, np.float32))
+    assert action.shape == (7,) and np.isfinite(action).all()
