@@ -112,10 +112,12 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def build_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
-        num_training_steps = steps_per_epoch * self.tcfg.max_epochs
+        # clamp to int32: a --steps-capped run sets max_epochs huge
+        num_training_steps = min(steps_per_epoch * self.tcfg.max_epochs, 2**31 - 1)
         schedule = make_lr_schedule(
             self.tcfg.lr_schedule, self.tcfg.lr, num_training_steps, self.tcfg.num_warmup_steps
         )
+        self._lr_schedule = schedule  # for lr monitoring (reference LearningRateMonitor)
         return optax.adam(schedule)
 
     def init_state(self, example_batch: Dict[str, ModalityBatch], steps_per_epoch: int) -> TrainState:
@@ -274,6 +276,8 @@ class Trainer:
                     jax.profiler.stop_trace()
                 if i % tcfg.log_every == 0:
                     losses = jax.device_get(losses)
+                    if getattr(self, "_lr_schedule", None) is not None:
+                        losses["lr"] = float(self._lr_schedule(int(state.step)))
                     self.logger.log(losses, int(state.step), "train")
                     print(
                         f"[trainer] epoch {epoch} step {i}/{steps_per_epoch} "
