@@ -34,13 +34,16 @@ def main():
     from hulc_tpu.parallel.mesh import make_mesh, shard_batch_tree
     from hulc_tpu.training.trainer import Trainer, TrainerConfig
 
-    batch_per_mod = 32
+    batch_per_mod = 32  # per chip (the reference's per-device load)
     seq_len = 32
     cfg = get_config("hulc", compute_dtype="bfloat16")
     tcfg = TrainerConfig(run_dir="/tmp/hulc_bench", donate_state=True)
     trainer = Trainer(cfg, tcfg)
+    n_chips = len(trainer.mesh.devices.flat)
 
-    raw = _make_raw_batch(cfg, batch_per_mod, seq_len, 200, 84)
+    # GLOBAL batch scales with the mesh so each chip really processes
+    # 32+32 sequences per step (the sharded batch divides by n_chips)
+    raw = _make_raw_batch(cfg, batch_per_mod * n_chips, seq_len, 200, 84)
     # param shapes don't depend on batch/seq size: init on a tiny batch to
     # keep the (uncached) init compile cheap
     tiny = _make_raw_batch(cfg, 2, 8, 200, 84)
@@ -56,7 +59,6 @@ def main():
     state, losses = train_step(state, sharded, rng, kl_beta)
     _ = float(losses["total_loss"])
 
-    n_chips = len(trainer.mesh.devices.flat)
     seqs_per_step = 2 * batch_per_mod * n_chips
     # Pipelined steady-state timing (how the trainer actually runs: steps are
     # dispatched async, losses fetched only at log points). A single hard

@@ -21,10 +21,12 @@ import regex as re
 
 CONTEXT_LENGTH = 77
 
-_DEFAULT_VOCAB_PATHS = [
-    os.environ.get("HULC_TPU_BPE_VOCAB", ""),
-    "/root/reference/hulc/utils/bpe_simple_vocab_16e6.txt.gz",
-]
+def _default_vocab_paths():
+    # read the env var at construction time, not import time
+    return [
+        os.environ.get("HULC_TPU_BPE_VOCAB", ""),
+        "/root/reference/hulc/utils/bpe_simple_vocab_16e6.txt.gz",
+    ]
 
 
 @functools.lru_cache()
@@ -62,7 +64,7 @@ def _clean(text: str) -> str:
 
 class SimpleTokenizer:
     def __init__(self, bpe_path: Optional[str] = None):
-        path = bpe_path or next((p for p in _DEFAULT_VOCAB_PATHS if p and pathlib.Path(p).exists()), None)
+        path = bpe_path or next((p for p in _default_vocab_paths() if p and pathlib.Path(p).exists()), None)
         if path is None:
             raise FileNotFoundError(
                 "CLIP BPE vocab not found; download bpe_simple_vocab_16e6.txt.gz "

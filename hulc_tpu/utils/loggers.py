@@ -45,6 +45,8 @@ def make_logger(kind: str, run_dir: str, **kwargs):
         return WandbLogger(name=str(run_dir), **kwargs)
     if kind == "tensorboard":
         return TensorBoardLogger(str(run_dir))
+    if kind != "jsonl":
+        raise ValueError(f"unknown logger kind {kind!r} (jsonl | wandb | tensorboard)")
     from hulc_tpu.training.trainer import MetricLogger
 
     return MetricLogger(run_dir)

@@ -30,10 +30,13 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 EXCLUDE = {".git", "runs", "__pycache__", ".jax_cache", ".pytest_cache"}
 
 
-def snapshot_repo(dest: pathlib.Path) -> None:
+def snapshot_repo(dest: pathlib.Path, skip: pathlib.Path = None) -> None:
     dest.mkdir(parents=True, exist_ok=True)
     for item in REPO_ROOT.iterdir():
         if item.name in EXCLUDE:
+            continue
+        # never copy the run dir into its own snapshot (recursive self-copy)
+        if skip is not None and (item == skip or skip.is_relative_to(item)):
             continue
         target = dest / item.name
         if item.is_dir():
@@ -68,7 +71,7 @@ def main(argv=None):
     run_dir.mkdir(parents=True, exist_ok=True)
     code_dir = run_dir / "code"
     if not args.no_snapshot:
-        snapshot_repo(code_dir)
+        snapshot_repo(code_dir, skip=run_dir)
         (run_dir / "git_commit.txt").write_text(git_commit_hash() + "\n")
     else:
         code_dir = REPO_ROOT

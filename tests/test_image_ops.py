@@ -66,3 +66,34 @@ def test_resize_bilinear_shape():
     imgs = jnp.zeros((4, 100, 100, 3))
     out = resize_bilinear(imgs, 200, 200)
     assert out.shape == (4, 200, 200, 3)
+
+
+def test_matmul_shift_exactly_equals_slice_shift():
+    """The one-hot selection matmul path (TPU production path) must be
+    bit-identical to the dynamic-slice path for uint8 inputs — every value
+    0..255 is exactly representable in the matmul accumulator and each
+    output has exactly one contributing term."""
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.integers(0, 256, (16, 24, 24, 3), np.uint8))
+    key = jax.random.key(11)
+    a = random_shift(key, imgs, pad=5, method="slice")
+    b = random_shift(key, imgs, pad=5, method="matmul")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # extreme values survive
+    imgs2 = jnp.asarray(np.full((2, 16, 16, 3), 255, np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(random_shift(key, imgs2, pad=3, method="matmul")), 255
+    )
+
+
+def test_matmul_shift_bf16_values_exact():
+    """The TPU path casts uint8 pixels to bf16 before the selection matmul;
+    every value 0..255 fits bf16's 8 mantissa bits, so a bf16-input crop must
+    round-trip all 256 values exactly (validated here explicitly since the
+    CPU path defaults to f32)."""
+    vals = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    imgs = jnp.asarray(np.broadcast_to(vals, (4, 16, 16, 1)))
+    key = jax.random.key(3)
+    ref = random_shift(key, imgs, pad=4, method="slice")
+    got = random_shift(key, imgs.astype(jnp.bfloat16), pad=4, method="matmul")
+    np.testing.assert_array_equal(np.asarray(got.astype(jnp.uint8)), np.asarray(ref))
