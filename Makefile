@@ -1,0 +1,26 @@
+# hulc_tpu common workflows
+PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
+
+.PHONY: test bench smoke dryrun native eval-smoke
+
+test:            ## full suite (CPU, 8 virtual devices)
+	python -m pytest tests/ -q
+
+bench:           ## headline throughput on the real chip (one JSON line)
+	$(PY) bench.py
+
+smoke:           ## 5-step fixture training end-to-end
+	$(PY) -m hulc_tpu.training.train --config gcbc_debug --fixture --steps 5 \
+	    --batch-size 2 --run-dir /tmp/hulc_smoke --cache none --no-resume
+
+dryrun:          ## multi-chip sharding dryrun on 8 virtual CPU devices
+	JAX_PLATFORMS= $(PY) -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	    import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
+	    from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+native:          ## (re)build the C++ shared-memory cache
+	$(PY) -m hulc_tpu.native.build
+
+eval-smoke:      ## batched LH-MTLC smoke on the fake env
+	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \
+	    --config gcbc_debug --num-sequences 4 --ep-len 5 --batched --num-envs 2
