@@ -1,10 +1,13 @@
 """CLIP byte-BPE tokenizer (reference: hulc/utils/clip_tokenizer.py, the
-vendored OpenAI tokenizer). Written fresh against the public BPE algorithm.
+vendored OpenAI tokenizer). Written fresh against the public BPE algorithm;
+the merge loop is an index-based leftmost-min-rank scan (tiktoken/HF style)
+rather than the pair-set formulation.
 
-The merge vocabulary (``bpe_simple_vocab_16e6.txt.gz``) is NOT vendored;
-pass its path explicitly or set HULC_TPU_BPE_VOCAB. ftfy text fixing is
-applied when the library is available (it is optional in this environment);
-raw play-data annotations are plain ASCII so results are identical.
+The merge vocabulary (``bpe_simple_vocab_16e6.txt.gz``, a public OpenAI CLIP
+data asset) is vendored under ``hulc_tpu/assets/``; override with an explicit
+``bpe_path`` or HULC_TPU_BPE_VOCAB. ftfy text fixing is applied when the
+library is available (it is optional in this environment); raw play-data
+annotations are plain ASCII so results are identical.
 """
 
 from __future__ import annotations
@@ -21,11 +24,14 @@ import regex as re
 
 CONTEXT_LENGTH = 77
 
+_VENDORED_VOCAB = pathlib.Path(__file__).resolve().parent.parent / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+
+
 def _default_vocab_paths():
     # read the env var at construction time, not import time
     return [
         os.environ.get("HULC_TPU_BPE_VOCAB", ""),
-        "/root/reference/hulc/utils/bpe_simple_vocab_16e6.txt.gz",
+        str(_VENDORED_VOCAB),
     ]
 
 
@@ -45,10 +51,6 @@ def bytes_to_unicode():
             cs.append(256 + n)
             n += 1
     return dict(zip(bs, [chr(c) for c in cs]))
-
-
-def _get_pairs(word):
-    return {(a, b) for a, b in zip(word[:-1], word[1:])}
 
 
 def _clean(text: str) -> str:
@@ -91,38 +93,25 @@ class SimpleTokenizer:
         )
 
     def bpe(self, token: str) -> str:
-        if token in self.cache:
-            return self.cache[token]
-        word = tuple(token[:-1]) + (token[-1] + "</w>",)
-        pairs = _get_pairs(word)
-        if not pairs:
-            return token + "</w>"
-        while True:
-            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
-            if bigram not in self.bpe_ranks:
+        """Greedy BPE via leftmost-lowest-rank single merges.
+
+        Merging one leftmost occurrence of the globally lowest-rank adjacent
+        pair per iteration is token-for-token equivalent to the classic
+        whole-word merge pass (the merged pair stays minimal until all its
+        occurrences are gone, and both scans proceed left to right).
+        """
+        cached = self.cache.get(token)
+        if cached is not None:
+            return cached
+        parts = list(token[:-1]) + [token[-1] + "</w>"]
+        inf = float("inf")
+        while len(parts) > 1:
+            ranks = [self.bpe_ranks.get(pair, inf) for pair in zip(parts, parts[1:])]
+            i = min(range(len(ranks)), key=ranks.__getitem__)
+            if ranks[i] is inf:
                 break
-            first, second = bigram
-            new_word = []
-            i = 0
-            while i < len(word):
-                try:
-                    j = word.index(first, i)
-                except ValueError:
-                    new_word.extend(word[i:])
-                    break
-                new_word.extend(word[i:j])
-                i = j
-                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
-                    new_word.append(first + second)
-                    i += 2
-                else:
-                    new_word.append(word[i])
-                    i += 1
-            word = tuple(new_word)
-            if len(word) == 1:
-                break
-            pairs = _get_pairs(word)
-        out = " ".join(word)
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+        out = " ".join(parts)
         self.cache[token] = out
         return out
 

@@ -46,18 +46,59 @@ def test_clip_text_shapes_and_eot():
 
 
 def test_clip_tokenizer_roundtrip():
-    from hulc_tpu.utils.clip_tokenizer import SimpleTokenizer, tokenize
+    from hulc_tpu.utils.clip_tokenizer import _VENDORED_VOCAB, SimpleTokenizer, tokenize
 
-    try:
-        tok = SimpleTokenizer()
-    except FileNotFoundError:
-        pytest.skip("BPE vocab not available")
+    # the BPE vocab is a vendored package asset — no external checkout needed
+    assert _VENDORED_VOCAB.exists(), _VENDORED_VOCAB
+    tok = SimpleTokenizer()
     ids = tok.encode("push the sliding door to the left side")
     assert len(ids) > 0
     assert tok.decode(ids).strip() == "push the sliding door to the left side"
     arr = tokenize(["open the drawer", "turn on the led"], tokenizer=tok)
     assert arr.shape == (2, 77)
     assert (arr[:, 0] == tok.encoder["<|startoftext|>"]).all()
+
+
+def test_clip_tokenizer_reference_parity():
+    """Token-for-token parity with the reference's vendored OpenAI tokenizer
+    (reference: hulc/utils/clip_tokenizer.py). The oracle's except-handler has
+    a py2-ism (`ex.message`) that crashes on tokens hitting the merge-tail
+    path; patch it to the canonical OpenAI pass-through before comparing."""
+    import pathlib
+    import random
+    import string
+    import sys
+    import types
+
+    ref_path = pathlib.Path("/root/reference/hulc/utils/clip_tokenizer.py")
+    if not ref_path.exists():
+        pytest.skip("reference tokenizer not available")
+    sys.modules.setdefault("ftfy", types.SimpleNamespace(fix_text=lambda s: s))
+    src = ref_path.read_text().replace("print(ex.message, ex.args)", "pass")
+    mod = types.ModuleType("ref_clip_tok")
+    mod.__file__ = str(ref_path)
+    exec(compile(src, str(ref_path), "exec"), mod.__dict__)
+
+    from hulc_tpu.utils.clip_tokenizer import SimpleTokenizer
+
+    mine, ref = SimpleTokenizer(), mod.SimpleTokenizer()
+    rng = random.Random(0)
+    texts = [
+        "push the red block to the left",
+        "turn on the yellow light!!",
+        "don't stop; rotate 90 deg",
+        "abc abcdef qxqxqx",
+    ]
+    alphabet = string.ascii_lowercase + "0123456789'.,-"
+    for _ in range(60):
+        texts.append(
+            " ".join(
+                "".join(rng.choices(alphabet, k=rng.randint(1, 14)))
+                for _ in range(rng.randint(1, 10))
+            )
+        )
+    for t in texts:
+        assert mine.encode(t) == ref.encode(t), t
 
 
 def test_vision_clip_wrapper_frozen_backbone():
