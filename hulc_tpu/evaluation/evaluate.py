@@ -28,7 +28,17 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="hulc_tpu LH-MTLC evaluation")
     p.add_argument("--run-dir", required=True, help="training run dir with saved_models/")
     p.add_argument("--config", default="hulc")
-    p.add_argument("--checkpoint", default="last", help="last | all | comma-separated epochs")
+    p.add_argument(
+        "--checkpoint",
+        default="last",
+        help="last | best | all | comma-separated epochs ('best' uses the "
+        "monitored-checkpoint journal written by the trainer)",
+    )
+    p.add_argument(
+        "--monitor-preset",
+        default=None,
+        help="checkpoint preset for --checkpoint best (default: lh_sr)",
+    )
     p.add_argument("--num-sequences", type=int, default=1000)
     p.add_argument("--ep-len", type=int, default=360)
     p.add_argument("--dataset-dir", default=None, help="for statistics + lang embeddings")
@@ -64,6 +74,8 @@ def main(argv=None):
 
     if args.checkpoint == "last":
         paths = [ckpt.latest_checkpoint(run_dir)]
+    elif args.checkpoint == "best":
+        paths = [ckpt.best_checkpoint(run_dir, args.monitor_preset or "lh_sr")]
     elif args.checkpoint == "all":
         paths = ckpt.all_checkpoints(run_dir)
     else:

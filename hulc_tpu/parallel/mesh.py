@@ -37,8 +37,32 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def host_local_batch_to_global(batch, mesh: Mesh, axis_name: str = "data"):
+    """Assemble a global batch from this process's local shard (DCN story).
+
+    Each host loads a DISJOINT slice of the global batch (the reference's DDP
+    per-rank loading, SURVEY.md §2.7); this stitches the local numpy arrays
+    into global ``jax.Array``s sharded over the mesh's data axis without ever
+    materializing the full batch on one host
+    (``jax.make_array_from_process_local_data``).
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
-    """device_put every array leaf with its leading dim sharded over data."""
+    """Shard every array leaf's leading dim over the data axis.
+
+    Single-process: a plain device_put of the full batch. Multi-process: the
+    batch is treated as this host's local shard and stitched into a global
+    array via :func:`host_local_batch_to_global` (device_put of a full global
+    batch would be wrong — no host holds it).
+    """
+    if jax.process_count() > 1:
+        return host_local_batch_to_global(batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

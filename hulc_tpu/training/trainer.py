@@ -62,6 +62,11 @@ class TrainerConfig:
     checkpoint_every_epochs: int = 1
     num_devices: Optional[int] = None  # None -> all
     donate_state: bool = True
+    # metric-monitored top-k checkpoint retention: a preset name from
+    # checkpoint.CHECKPOINT_PRESETS ("all", "val_action", "lh_sr", "task_sr",
+    # "kl", "clip_loss", "state_recon" — reference
+    # conf/callbacks/checkpoint/*.yaml) or a CheckpointPolicy instance.
+    checkpoint_policy: Any = "all"
     # ZeRO-3-style parameter sharding over the data axis. The 47M-param HULC
     # fits replicated (the default); enable for larger model variants.
     fsdp: bool = False
@@ -106,6 +111,7 @@ class Trainer:
         self._train_step = None
         self._val_step = None
         self.epoch = 0
+        self.checkpointer = ckpt.MonitoredCheckpointer(tcfg.run_dir, tcfg.checkpoint_policy)
 
     # ------------------------------------------------------------------
     # Setup
@@ -294,15 +300,28 @@ class Trainer:
                 "epoch",
             )
 
+            # metrics visible to the monitored checkpointer this epoch:
+            # last-step train losses (train/), val means (val/), and whatever
+            # callbacks return (rollout callbacks use eval_lh/ and tasks/)
+            epoch_metrics: Dict[str, float] = {
+                f"train/{k}": float(v)
+                for k, v in jax.device_get(losses).items()
+                if getattr(v, "ndim", 0) == 0 or np.isscalar(v)
+            }
             if val_loader is not None and (epoch + 1) % tcfg.val_every_epochs == 0:
-                self.validate(state, val_loader, rng, kl_beta=kl_beta)
+                val_mean = self.validate(state, val_loader, rng, kl_beta=kl_beta)
+                epoch_metrics.update({f"val/{k}": v for k, v in val_mean.items()})
             for cb in callbacks or ():
-                cb.on_epoch_end(self, state, epoch)
+                cb_metrics = cb.on_epoch_end(self, state, epoch)
+                if isinstance(cb_metrics, dict):
+                    epoch_metrics.update(
+                        {k: v for k, v in cb_metrics.items() if isinstance(v, (int, float))}
+                    )
             if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == max_epochs - 1:
-                ckpt.save_checkpoint(
-                    tcfg.run_dir,
+                self.checkpointer.save(
                     epoch,
                     {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                    epoch_metrics,
                 )
             if max_steps is not None and total_steps >= max_steps:
                 break

@@ -159,6 +159,32 @@ def test_evaluate_policy_results_schema(tmp_path, debug_policy):
     assert "7" in on_disk
 
 
+def test_rollout_callback_task_sr(tmp_path):
+    """Short-horizon Rollout callback: per-task SR + tasks/average_sr (the
+    conf/callbacks/checkpoint/task_sr.yaml monitor source)."""
+    import types
+
+    from hulc_tpu.evaluation.rollout_callback import RolloutCallback
+    from hulc_tpu.training.trainer import MetricLogger
+
+    cfg = get_config("gcbc_debug")
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    env = FakeCalvinEnv()
+    # scripted: the drawer opens over time -> open_drawer succeeds, lightbulb fails
+    env.script_scene(lambda e, t: e.scene_obs.__setitem__(1, min(0.2, 0.02 * (t + 1))))
+    emb = {t: np.zeros(384, np.float32) for t in ("open_drawer", "turn_on_lightbulb")}
+    cb = RolloutCallback(env, num_rollouts=2, ep_len=12, lang_embeddings=emb)
+    trainer = types.SimpleNamespace(cfg=cfg, logger=MetricLogger(tmp_path))
+    state = types.SimpleNamespace(params=params, step=0)
+    assert cb.on_epoch_end(trainer, state, epoch=0) is None  # skip_epochs=1
+    metrics = cb.on_epoch_end(trainer, state, epoch=1)
+    assert metrics["tasks/open_drawer_sr"] == 1.0
+    assert metrics["tasks/turn_on_lightbulb_sr"] == 0.0
+    assert metrics["tasks/average_sr"] == 0.5
+
+
 def test_get_sequences_deterministic():
     a = get_sequences(5, seed=3)
     b = get_sequences(5, seed=3)

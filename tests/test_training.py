@@ -58,6 +58,70 @@ def test_fit_and_resume(fixture_root, tmp_path):
     assert int(state2.step) == 3
 
 
+def test_monitored_topk_checkpointing(tmp_path):
+    """Top-k retention prunes the worst epochs, never the latest (resume),
+    and best_checkpoint answers post-hoc queries from the metric journal."""
+    run_dir = tmp_path / "run"
+    policy = ckpt.CheckpointPolicy("val/action_loss_pp", "min", top_k=2)
+    mgr = ckpt.MonitoredCheckpointer(run_dir, policy)
+
+    def state(i):
+        return {"params": {"w": np.full(3, float(i))}, "step": i}
+
+    for epoch, val in {0: 5.0, 1: 1.0, 2: 3.0, 3: 0.5, 4: 4.0}.items():
+        mgr.save(epoch, state(epoch), {"val/action_loss_pp": val})
+
+    kept = {ckpt.checkpoint_epoch(p) for p in ckpt.all_checkpoints(run_dir)}
+    # top-2 by min value = epochs 3 (0.5) and 1 (1.0); latest (4) always kept
+    assert kept == {1, 3, 4}
+    assert ckpt.checkpoint_epoch(ckpt.best_checkpoint(run_dir, policy)) == 3
+    # the journal holds all metrics -> a different monitor works post hoc
+    best_max = ckpt.best_checkpoint(
+        run_dir, ckpt.CheckpointPolicy("val/action_loss_pp", "max")
+    )
+    assert ckpt.checkpoint_epoch(best_max) == 4
+    restored = ckpt.restore_checkpoint(ckpt.best_checkpoint(run_dir, policy), state(0))
+    np.testing.assert_array_equal(restored["params"]["w"], np.full(3, 3.0))
+    # presets mirror conf/callbacks/checkpoint/*.yaml
+    assert ckpt.resolve_checkpoint_policy("lh_sr").monitor == "eval_lh/avg_seq_len"
+    assert ckpt.resolve_checkpoint_policy("all").monitor is None
+    with pytest.raises(ValueError):
+        ckpt.resolve_checkpoint_policy("nope")
+
+
+def test_restore_params_by_name(tmp_path):
+    """restore_params matches leaves by pytree path, not position."""
+    params = {"a": {"w": np.arange(3.0)}, "b": {"w": np.ones(2)}}
+    ckpt.save_checkpoint(tmp_path, 0, {"params": params, "step": 0})
+    path = ckpt.latest_checkpoint(tmp_path)
+    out = ckpt.restore_params(path, {"a": {"w": np.zeros(3)}, "b": {"w": np.zeros(2)}})
+    np.testing.assert_array_equal(out["a"]["w"], np.arange(3.0))
+    # same arity, wrong names -> loud failure (not a positional transplant)
+    with pytest.raises(ValueError, match="by name"):
+        ckpt.restore_params(path, {"a": {"w": np.zeros(3)}, "c": {"w": np.zeros(2)}})
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ckpt.restore_params(path, {"a": {"w": np.zeros(4)}, "b": {"w": np.zeros(2)}})
+
+
+def test_host_local_batch_to_global_single_process():
+    """Single-process degenerate case: the host-local path must equal the
+    plain device_put path bit-for-bit, with the same sharding."""
+    from hulc_tpu.parallel.mesh import (
+        host_local_batch_to_global,
+        make_mesh,
+        shard_batch_tree,
+    )
+
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(32.0).reshape(16, 2), "y": np.arange(16, dtype=np.int32)}
+    g = host_local_batch_to_global(batch, mesh)
+    s = shard_batch_tree(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(g[k]), batch[k])
+        np.testing.assert_array_equal(np.asarray(s[k]), batch[k])
+        assert g[k].sharding.spec == s[k].sharding.spec
+
+
 def test_multidevice_data_parallel():
     """Full train step over the 8-virtual-device mesh; loss finite and the
     step must match a single-device run of the same global batch."""
@@ -106,6 +170,16 @@ def test_fsdp_param_sharding_step():
         leaf.sharding for leaf in jax.tree.leaves(state.params) if leaf.size >= 2**16
     ]
     assert any(s.spec != jax.sharding.PartitionSpec() for s in shardings), "no param sharded"
+    # adam moments must inherit the param shardings (true ZeRO-3, not just
+    # sharded weights with replicated optimizer state)
+    opt_shardings = [
+        leaf.sharding
+        for leaf in jax.tree.leaves(state.opt_state)
+        if getattr(leaf, "size", 0) >= 2**16
+    ]
+    assert opt_shardings and any(
+        s.spec != jax.sharding.PartitionSpec() for s in opt_shardings
+    ), "opt_state not sharded"
     step = tr.make_train_step()
     sharded = shard_batch_tree(raw, tr.mesh)
     state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
