@@ -154,6 +154,7 @@ def evaluate_policy_batched(
     envs: Optional[List] = None,
     policy: Optional[BatchedHulcPolicy] = None,
     results_name: str = "results.json",
+    initial_states: Optional[List] = None,
 ) -> Dict:
     """LH-MTLC protocol with E lockstep environments.
 
@@ -205,7 +206,11 @@ def evaluate_policy_batched(
         lane_chain[i] = (idx, chain)
         lane_pos[i] = 0
         lane_steps[i] = 0
-        lane_obs[i] = envs[i].reset()
+        if initial_states is not None:
+            robot_obs, scene_obs = initial_states[idx % len(initial_states)]
+            lane_obs[i] = envs[i].reset(robot_obs=robot_obs, scene_obs=scene_obs)
+        else:
+            lane_obs[i] = envs[i].reset()
         lane_start_info[i] = envs[i].get_info()
         task_attempts[chain[0]] += 1
         return True

@@ -111,7 +111,19 @@ def main(argv=None):
     from hulc_tpu.evaluation.tasks import ALL_TASKS
 
     task_pool = restrict_task_pool(lang_embeddings, ALL_TASKS)
-    sequences = get_sequences(args.num_sequences, tasks=task_pool, seed=args.seed)
+    initial_states = None
+    if set(task_pool) == set(ALL_TASKS):
+        # official protocol: feasibility-filtered chains + matched scene resets
+        # (calvin_agent.evaluation.multistep_sequences equivalent)
+        from hulc_tpu.evaluation import chain_sampler
+
+        pairs = chain_sampler.get_sequences(args.num_sequences, seed=args.seed)
+        sequences = [chain for _, chain in pairs]
+        initial_states = [chain_sampler.initial_state_to_obs(s) for s, _ in pairs]
+    else:
+        # embedding-restricted pools fall back to uniform sampling (not the
+        # official protocol; numbers are not comparable to published results)
+        sequences = get_sequences(args.num_sequences, tasks=task_pool, seed=args.seed)
 
     out_dir = run_dir / "evaluation"
     batched_envs = None  # created once, reused across checkpoints
@@ -146,6 +158,7 @@ def main(argv=None):
                 envs=batched_envs,
                 policy=batched_policy,
                 results_name=args.results_name,
+                initial_states=initial_states,
             )
             batched_policy = results.pop("_policy", batched_policy)
             r = results[str(epoch)]
@@ -170,6 +183,7 @@ def main(argv=None):
             ep_len=args.ep_len,
             oracle=oracle,
             sequences=sequences,
+            initial_states=initial_states,
             output_dir=out_dir,
             seed=args.seed,
             results_name=args.results_name,

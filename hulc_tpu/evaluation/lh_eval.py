@@ -31,9 +31,12 @@ def get_sequences(
     seed: int = 0,
     chain_len: int = CHAIN_LEN,
 ) -> List[List[str]]:
-    """Sample task chains (stand-in for calvin_agent multistep_sequences,
-    which filters by scene-state feasibility; plug a custom sampler for
-    exact-protocol runs with the real env)."""
+    """Uniform chain sampling over a restricted task pool.
+
+    For the official protocol (full 34-task pool) use
+    :mod:`hulc_tpu.evaluation.chain_sampler`, which filters chains by
+    scene-state feasibility and pairs each chain with its initial scene —
+    evaluate.py and the LH rollout callback do so automatically."""
     rng = np.random.default_rng(seed)
     chain_len = min(chain_len, len(tasks))  # small pools -> shorter chains
     chains = []

@@ -63,10 +63,21 @@ class RolloutLongHorizonCallback:
             policy.lang_embeddings = {
                 t: np.zeros(trainer.cfg.lang_dim, np.float32) for t in ALL_TASKS
             }
-        sequences = get_sequences(
-            self.num_sequences, tasks=pool, seed=self.seed + epoch,
-            chain_len=min(5, len(pool)),
-        )
+        initial_states = None
+        if set(pool) == set(ALL_TASKS):
+            # feasibility-filtered protocol chains + matched scene resets
+            from hulc_tpu.evaluation import chain_sampler
+
+            pairs = chain_sampler.get_sequences(
+                self.num_sequences, seed=self.seed + epoch
+            )
+            sequences = [chain for _, chain in pairs]
+            initial_states = [chain_sampler.initial_state_to_obs(s) for s, _ in pairs]
+        else:
+            sequences = get_sequences(
+                self.num_sequences, tasks=pool, seed=self.seed + epoch,
+                chain_len=min(5, len(pool)),
+            )
         results = evaluate_policy(
             policy,
             self.env,
@@ -76,6 +87,7 @@ class RolloutLongHorizonCallback:
             oracle=self.oracle,
             instructions=self.instructions,
             sequences=sequences,
+            initial_states=initial_states,
             seed=self.seed + epoch,
         )
         r = results[str(epoch)]
