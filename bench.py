@@ -1,37 +1,100 @@
 """Headline benchmark: HULC train-step throughput (sequences/sec/chip).
 
-Measures the full jitted optimizer step (on-device uint8 preprocessing +
-augmentation + forward + backward + adam) on the flagship HULC config at the
-reference's per-device load: 32 vision + 32 language sequences, 32-frame
-windows, 200px + 84px cameras.
+Two numbers are measured on the flagship HULC config at the reference's
+per-device load (32 vision + 32 language sequences, 32-frame windows,
+200px + 84px cameras, bf16 compute):
+
+1. **device** — the full jitted optimizer step (on-device uint8
+   preprocessing + augmentation + forward + backward + adam) on a
+   device-resident batch. This is the kernel/compiler quality number.
+2. **e2e** — fresh host batches every step: CombinedLoader (threaded window
+   assembly from a RAM episode cache) -> shard_batch_tree (H2D) -> step,
+   double-buffered so assembly and transfer overlap compute. This is the
+   input-pipeline number; per-component rates (host assembly MB/s, H2D
+   MB/s, device step ms) are reported so the bottleneck is visible.
+
+On this rig the TPU is tunneled (remote compile/transfer). Measured wire
+behavior (diagnosed 2026-08-16): H2D runs at ~1.5 GB/s until the first big
+program executes, after which THIS SESSION's transfers degrade ~50x to
+~30 MB/s permanently (not host CPU — the tunnel proxy idles; not memory —
+126 GB free; no recovery after 60 s idle; fresh processes are fast again).
+The e2e number is therefore wire-bound on this rig. Both the clean and the
+degraded rate are reported, plus a projected e2e at the clean rate — which
+is what a production TPU host (local PCIe/DMA, >>1 GB/s) would see: there
+the double-buffered pipeline hides the transfer behind the 28 ms step. The
+echoed variant (TrainerConfig.echo_factor) shows the built-in mitigation
+for feed-bound deployments: E optimizer steps per transferred batch with
+fresh on-device augmentation RNG per echo (data echoing, Choi et al. 2020).
 
 Baseline derivation (BASELINE.md): the reference trains at 1.5 h/epoch on
 8x RTX 2080Ti with effective batch 512 (64 seq/GPU/step). The CALVIN D
 training split has ~512k frames -> ~16k steps/epoch -> ~0.34 s/step ->
-~188 seq/s for 8 GPUs = ~23.5 seq/s per GPU. vs_baseline is measured
-seq/s/chip divided by that per-GPU figure.
+~188 seq/s for 8 GPUs = ~23.5 seq/s per GPU — an END-TO-END figure (it is
+wall-clock epoch time with the shm loader), so both of our numbers compare
+against it. vs_baseline uses the device number; e2e carries its own ratio.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "e2e"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import pathlib
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hulc_jax_cache")
 
 BASELINE_SEQ_PER_SEC_PER_GPU = 23.5
+E2E_DATA_DIR = pathlib.Path("/tmp/hulc_bench_data")
+
+
+def _tree_nbytes(batch) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree.leaves(batch))
+
+
+def _fresh_batch_iter(cfg, batch_per_mod, seq_len, n_chips):
+    """Endless {"vis","lang"} host batches from a CombinedLoader over a
+    full-resolution fixture dataset (exact CALVIN npz schema)."""
+    from hulc_tpu.data.fixtures import make_fixture_dataset
+    from hulc_tpu.data.loader import make_loaders
+
+    if not (E2E_DATA_DIR / "training" / "ep_start_end_ids.npy").exists():
+        make_fixture_dataset(E2E_DATA_DIR, num_episodes=4, episode_len=96, small=False)
+    loader = make_loaders(
+        cfg,
+        E2E_DATA_DIR,
+        split="training",
+        batch_size=batch_per_mod * n_chips,
+        min_window=seq_len,
+        max_window=seq_len,
+        cache="ram",
+    )
+
+    def endless():
+        while True:
+            yield from loader
+
+    return loader, endless()
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-e2e", action="store_true", help="device-only timing")
+    ap.add_argument("--steps", type=int, default=20, help="timed device steps")
+    ap.add_argument("--e2e-steps", type=int, default=5, help="timed e2e steps")
+    ap.add_argument("--echo", type=int, default=16, help="echo factor for the echoed-e2e probe")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _make_raw_batch
     from hulc_tpu.config import get_config
-    from hulc_tpu.parallel.mesh import make_mesh, shard_batch_tree
+    from hulc_tpu.parallel.mesh import shard_batch_tree
     from hulc_tpu.training.trainer import Trainer, TrainerConfig
 
     batch_per_mod = 32  # per chip (the reference's per-device load)
@@ -52,6 +115,24 @@ def main():
     kl_beta = jnp.asarray(0.01)
     rng = jax.random.key(0)
 
+    # clean-wire H2D rate: measured BEFORE any big program execution (on
+    # this tunneled rig, transfers run at ~1.5 GB/s until the first train
+    # step executes, then the session's transfer path degrades ~50x — see
+    # the e2e block below)
+    h2d_clean_s = None
+    loader = it = None
+    if not args.skip_e2e:
+        loader, it = _fresh_batch_iter(cfg, batch_per_mod, seq_len, n_chips)
+        clean_host = loader._make()
+        h2d_clean_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            clean_dev = shard_batch_tree(clean_host, trainer.mesh)
+            jax.block_until_ready(clean_dev)
+            h2d_clean_s = min(h2d_clean_s, time.perf_counter() - t0)
+            del clean_dev
+        del clean_host
+
     sharded = shard_batch_tree(raw, trainer.mesh)
     # compile + warmup; the float() fetch matters: on remote-compile
     # platforms the scalar D2H transfer is itself a compiled program, and
@@ -60,28 +141,97 @@ def main():
     _ = float(losses["total_loss"])
 
     seqs_per_step = 2 * batch_per_mod * n_chips
-    # Pipelined steady-state timing (how the trainer actually runs: steps are
-    # dispatched async, losses fetched only at log points). A single hard
-    # sync at the end bounds the whole pipeline. On tunneled runtimes a
-    # per-step scalar fetch would add ~30 ms RTT that real training never pays.
-    steps = 20
+    # --- device-only: pipelined steady state, one hard sync at the end.
+    # On tunneled runtimes a per-step scalar fetch would add ~30 ms RTT
+    # that real training never pays (losses are fetched at log points).
     t0 = time.perf_counter()
-    for i in range(steps):
+    for _ in range(args.steps):
         state, losses = train_step(state, sharded, rng, kl_beta)
     _ = float(losses["total_loss"])
-    step_time = (time.perf_counter() - t0) / steps
-    seq_per_sec_per_chip = seqs_per_step / step_time / n_chips
+    device_step_s = (time.perf_counter() - t0) / args.steps
+    device_seq_s = seqs_per_step / device_step_s / n_chips
 
-    print(
-        json.dumps(
-            {
-                "metric": "hulc_train_seq_per_sec_per_chip",
-                "value": round(seq_per_sec_per_chip, 2),
-                "unit": "seq/s/chip (32vis+32lang, S=32, bf16, full train step)",
-                "vs_baseline": round(seq_per_sec_per_chip / BASELINE_SEQ_PER_SEC_PER_GPU, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "hulc_train_seq_per_sec_per_chip",
+        "value": round(device_seq_s, 2),
+        "unit": "seq/s/chip (32vis+32lang, S=32, bf16, full train step)",
+        "vs_baseline": round(device_seq_s / BASELINE_SEQ_PER_SEC_PER_GPU, 2),
+    }
+
+    if not args.skip_e2e:
+        # per-component rates (unoverlapped), for the bottleneck diagnosis.
+        # Host assembly is timed directly (no prefetch-thread contention);
+        # h2d here is in the post-execution regime (see h2d_clean above).
+        assemble_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            host0 = loader._make()
+            assemble_s = min(assemble_s, time.perf_counter() - t0)
+        nbytes = _tree_nbytes(host0)
+        t0 = time.perf_counter()
+        dev0 = shard_batch_tree(host0, trainer.mesh)
+        jax.block_until_ready(dev0)
+        h2d_s = time.perf_counter() - t0
+
+        # pipelined loop: assembly runs in the loader's prefetch thread,
+        # the next batch's H2D is dispatched before the current step so
+        # transfer overlaps compute (double buffering)
+        state, losses = train_step(state, dev0, rng, kl_beta)  # warm re-steady
+        cur = shard_batch_tree(next(it), trainer.mesh)
+        t0 = time.perf_counter()
+        for i in range(args.e2e_steps):
+            nxt = shard_batch_tree(next(it), trainer.mesh) if i < args.e2e_steps - 1 else None
+            state, losses = train_step(state, cur, rng, kl_beta)
+            cur = nxt
+        _ = float(losses["total_loss"])
+        e2e_step_s = (time.perf_counter() - t0) / args.e2e_steps
+        e2e_seq_s = seqs_per_step / e2e_step_s / n_chips
+
+        # batch echoing (TrainerConfig.echo_factor): E optimizer steps per
+        # transferred batch, fresh augmentation RNG each echo — the
+        # mitigation when the feed link is the bottleneck
+        echo = args.echo
+        cur = shard_batch_tree(next(it), trainer.mesh)
+        t0 = time.perf_counter()
+        for i in range(2):
+            nxt = shard_batch_tree(next(it), trainer.mesh) if i == 0 else None
+            for _ in range(echo):
+                state, losses = train_step(state, cur, rng, kl_beta)
+            cur = nxt
+        _ = float(losses["total_loss"])
+        echo_seq_s = 2 * echo * seqs_per_step / (time.perf_counter() - t0) / n_chips
+
+        per_stage = {
+            "host assembly": assemble_s,
+            "h2d": h2d_s,
+            "device": device_step_s,
+        }
+        bottleneck = max(per_stage, key=per_stage.get)
+        if bottleneck == "h2d":
+            bottleneck = (
+                "h2d: this rig's tunneled TPU degrades session transfers "
+                f"~{h2d_s / max(h2d_clean_s, 1e-9):.0f}x after the first program execution "
+                "(clean wire rate in h2d_clean_mb_s); on a production host "
+                "(local PCIe/DMA) the double-buffered pipeline hides the transfer"
+            )
+        # what the same pipeline does when the wire runs at its clean rate
+        # (production-representative): stages overlap, slowest wins
+        projected = seqs_per_step / max(assemble_s, h2d_clean_s, device_step_s) / n_chips
+        result["e2e"] = {
+            "value": round(e2e_seq_s, 2),
+            "unit": "seq/s/chip (fresh host batches, double-buffered)",
+            "vs_baseline": round(e2e_seq_s / BASELINE_SEQ_PER_SEC_PER_GPU, 2),
+            "bottleneck": bottleneck,
+            "host_assembly_mb_s": round(nbytes / assemble_s / 1e6, 1),
+            "h2d_clean_mb_s": round(nbytes / h2d_clean_s / 1e6, 1),
+            "h2d_mb_s": round(nbytes / h2d_s / 1e6, 1),
+            "device_step_ms": round(device_step_s * 1e3, 1),
+            "batch_mb": round(nbytes / 1e6, 1),
+            f"echo{echo}_value": round(echo_seq_s, 2),
+            "projected_clean_wire_value": round(projected, 2),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -128,6 +128,13 @@ class PlanRecognitionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class GoalEncoderConfig:
+    """``kind="goal"``: the {Visual,Language}GoalEncoder stack (MLP capped by
+    LayerNorm, reference goal_encoders.py). ``kind="mlp"``: the plain
+    LanguageEncoder alternative head (reference
+    hulc/models/encoders/lang_encoder.py:1-29 — Dropout, three Linears, no
+    LayerNorm; selectable via conf/model/language_encoder/default.yaml)."""
+
+    kind: str = "goal"  # "goal" | "mlp"
     in_features: int = 384  # lang: MiniLM dim; visual resolved from encoder
     hidden_size: int = 2048
     latent_goal_features: int = 32

@@ -155,6 +155,12 @@ def build_results(epoch, seq_lens, chain_successes, n_sequences, task_successes,
             "task_sr": {
                 t: float(task_successes[t] / task_attempts[t]) for t in sorted(task_attempts)
             },
+            # success/total counts (reference results schema field consumed by
+            # create_plots.py:255-260 for count-filtered task bars)
+            "task_info": {
+                t: {"success": int(task_successes[t]), "total": int(task_attempts[t])}
+                for t in sorted(task_attempts)
+            },
         }
     }
 

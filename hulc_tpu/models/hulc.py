@@ -29,7 +29,7 @@ import numpy as np
 from hulc_tpu.config import HulcConfig
 from hulc_tpu.models.aux_heads import BCZLangDecoder, MIALangDiscriminator, ProjVisLang
 from hulc_tpu.models.decoders import make_action_decoder
-from hulc_tpu.models.goal_encoders import GoalEncoder
+from hulc_tpu.models.goal_encoders import GoalEncoder, make_language_goal_encoder
 from hulc_tpu.models.perceptual import ConcatEncoders
 from hulc_tpu.models.plan_nets import (
     PlanProposalNetwork,
@@ -142,7 +142,7 @@ class HulcModel(nn.Module):
         )
         self.visual_goal = GoalEncoder(cfg.visual_goal, dtype=dtype, name="visual_goal")
         self.language_goal = (
-            GoalEncoder(cfg.language_goal, word_dropout=True, dtype=dtype, name="language_goal")
+            make_language_goal_encoder(cfg.language_goal, dtype, "language_goal")
             if cfg.language_goal
             else None
         )

@@ -77,6 +77,13 @@ class TrainerConfig:
     profile_steps: int = 5
     # cap validation batches per epoch (None = full val set)
     val_max_batches: Optional[int] = 20
+    # batch echoing (Choi et al. 2020, "Faster Neural Network Training with
+    # Data Echoing"): run E optimizer steps per transferred host batch. Each
+    # echo reuses the device-resident uint8 batch but gets a fresh
+    # augmentation/dropout RNG (the step rng folds in state.step), so echoes
+    # see different random crops. Use when the input pipeline (host or
+    # host->device link) can't keep up with the device step.
+    echo_factor: int = 1
 
 
 class MetricLogger:
@@ -268,18 +275,21 @@ class Trainer:
             t_epoch = time.time()
             seqs = 0
             for i, raw_batch in enumerate(train_loader):
-                if tcfg.profile_start is not None and total_steps == tcfg.profile_start:
-                    jax.profiler.start_trace(str(pathlib.Path(tcfg.run_dir) / "profile"))
                 raw_batch = shard_batch_tree(raw_batch, self.mesh)
-                state, losses = self._train_step(state, raw_batch, rng, kl_beta)
-                seqs += sum(b.actions.shape[0] for b in raw_batch.values())
-                total_steps += 1
-                if (
-                    tcfg.profile_start is not None
-                    and total_steps == tcfg.profile_start + tcfg.profile_steps
-                ):
-                    jax.block_until_ready(losses["total_loss"])
-                    jax.profiler.stop_trace()
+                for _ in range(max(1, tcfg.echo_factor)):
+                    if tcfg.profile_start is not None and total_steps == tcfg.profile_start:
+                        jax.profiler.start_trace(str(pathlib.Path(tcfg.run_dir) / "profile"))
+                    state, losses = self._train_step(state, raw_batch, rng, kl_beta)
+                    seqs += sum(b.actions.shape[0] for b in raw_batch.values())
+                    total_steps += 1
+                    if (
+                        tcfg.profile_start is not None
+                        and total_steps == tcfg.profile_start + tcfg.profile_steps
+                    ):
+                        jax.block_until_ready(losses["total_loss"])
+                        jax.profiler.stop_trace()
+                    if max_steps is not None and total_steps >= max_steps:
+                        break
                 if i % tcfg.log_every == 0:
                     losses = jax.device_get(losses)
                     if getattr(self, "_lr_schedule", None) is not None:

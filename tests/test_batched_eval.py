@@ -44,7 +44,7 @@ def test_batched_eval_schema_and_accounting(params):
         num_envs=3, ep_len=14, sequences=sequences, lang_embeddings=lang, epoch=3,
     )
     r = results["3"]
-    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr"}
+    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr", "task_info"}
     assert r["chain_sr"]["1"] == 1.0 and r["chain_sr"]["2"] == 1.0
     assert r["avg_seq_len"] == 2.0
     assert r["task_sr"]["open_drawer"] == 1.0

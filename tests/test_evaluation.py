@@ -147,7 +147,7 @@ def test_evaluate_policy_results_schema(tmp_path, debug_policy):
         debug_policy, env, epoch=7, sequences=sequences, ep_len=15, output_dir=tmp_path
     )
     r = results["7"]
-    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr"}
+    assert set(r.keys()) == {"avg_seq_len", "chain_sr", "task_sr", "task_info"}
     assert set(r["chain_sr"].keys()) == {"1", "2", "3", "4", "5"}
     # first two chain positions succeed (scripted), third (lightbulb) fails
     assert r["chain_sr"]["1"] == 1.0 and r["chain_sr"]["2"] == 1.0

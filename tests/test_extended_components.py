@@ -295,3 +295,57 @@ def test_config_registry_complete():
                  "hulc_depth", "hulc_tactile", "hulc_deterministic"]:
         cfg = CONFIGS[name]()
         assert cfg.action_decoder.perceptual_features > 0  # resolved
+
+
+def test_language_encoder_torch_parity():
+    """LanguageEncoder (kind="mlp") matches the reference plain-MLP head
+    (hulc/models/encoders/lang_encoder.py:6-29) on transplanted weights."""
+    import torch
+
+    from tests.conftest import load_reference_module
+
+    ref = load_reference_module(
+        "hulc/models/encoders/lang_encoder.py", "ref_lang_encoder"
+    )
+    torch.manual_seed(0)
+    t = ref.LanguageEncoder(
+        language_features=384, hidden_size=64, out_features=16,
+        word_dropout_p=0.0, activation_function="ReLU",
+    ).eval()
+
+    from hulc_tpu.config import GoalEncoderConfig
+    from hulc_tpu.models.goal_encoders import LanguageEncoder
+
+    cfg = GoalEncoderConfig(kind="mlp", in_features=384, hidden_size=64,
+                            latent_goal_features=16)
+    mod = LanguageEncoder(cfg)
+    x = np.random.default_rng(0).normal(size=(5, 384)).astype(np.float32)
+    params = mod.init(jax.random.key(0), jnp.asarray(x))["params"]
+    sd = t.state_dict()
+    for ours, theirs in [("fc0", "mlp.1"), ("fc1", "mlp.3"), ("fc2", "mlp.5")]:
+        params[ours]["kernel"] = jnp.asarray(sd[f"{theirs}.weight"].numpy().T)
+        params[ours]["bias"] = jnp.asarray(sd[f"{theirs}.bias"].numpy())
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    want = t(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_language_encoder_selectable_in_model():
+    """kind="mlp" swaps the language head inside the full model."""
+    import dataclasses
+
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    cfg = get_config("hulc_debug")
+    cfg = dataclasses.replace(
+        cfg, language_goal=dataclasses.replace(cfg.language_goal, kind="mlp")
+    )
+    model = make_model(cfg)
+    batch = {"lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    assert "ln" not in params["language_goal"]  # plain MLP: no LayerNorm
+    losses = model.apply(
+        {"params": params}, jax.random.key(1), batch, 0.01,
+        method=model.train_losses, rngs={"dropout": jax.random.key(2)},
+    )
+    assert np.isfinite(float(losses["total_loss"]))

@@ -49,3 +49,119 @@ def test_run_parallel_shards_cover_all():
     shards = [epochs[i::3] for i in range(3)]
     flat = sorted(e for s in shards for e in s)
     assert flat == epochs
+
+
+def _write_run(root, name, factor):
+    """Fake run dir with results.json incl. task_info counts."""
+    run = root / name
+    (run / "evaluation").mkdir(parents=True)
+    tasks = ["open_drawer", "move_slider_left", "lift_red_block_table", "turn_on_led"]
+    data = {}
+    for epoch in (0, 5):
+        sr = min(0.9, 0.2 * factor + 0.1 * epoch / 5)
+        data[str(epoch)] = {
+            "avg_seq_len": 5 * sr,
+            "chain_sr": {str(k): max(0.0, sr - 0.15 * k) for k in range(1, 6)},
+            "task_sr": {t: sr for t in tasks},
+            "task_info": {t: {"success": int(sr * 20), "total": 20} for t in tasks},
+        }
+    (run / "evaluation" / "results.json").write_text(json.dumps(data))
+    return run
+
+
+def test_multi_run_plots(tmp_path):
+    for i, name in enumerate(["2026_01_01/run_a", "2026_01_01/run_b", "2026_01_02/run_c"]):
+        _write_run(tmp_path, name, factor=i + 1)
+    out = tmp_path / "cmp"
+    plots.main([
+        "--parent-dirs",
+        f"{tmp_path}/2026_01_01,{tmp_path}/2026_01_02",
+        "--out-dir", str(out),
+    ])
+    for f in ["avg_seq_len.png", "chain5.png", "chain_sr.png", "task_sr.png",
+              "task_categories.png", "best_performance.png"]:
+        assert (out / f).exists(), f
+
+
+def test_multi_run_ranking_order(tmp_path):
+    _write_run(tmp_path, "weak", factor=1)
+    _write_run(tmp_path, "strong", factor=4)
+    multi = plots.load_multi_results([tmp_path / "weak", tmp_path / "strong"])
+    runs, labels = plots._ranked(
+        multi, list(multi.keys()), lambda r: max(v["avg_seq_len"] for v in r.values())
+    )
+    assert labels[0] == "strong"
+    assert plots.task_category("open_drawer") == "static"
+    assert plots.task_category("lift_red_block_table") == "dynamic"
+
+
+def test_task_rates_prefers_counts():
+    epoch_result = {
+        "task_sr": {"open_drawer": 1.0},
+        "task_info": {"open_drawer": {"success": 3, "total": 5}},
+    }
+    assert plots._task_rates(epoch_result) == {"open_drawer": 60.0}
+    assert plots._task_rates(epoch_result, min_total=10) == {}
+
+
+class _StubPolicy:
+    def __init__(self):
+        self.lang_embeddings = {}
+        self.steps = 0
+
+    def reset(self):
+        pass
+
+    def step(self, obs, goal):
+        self.steps += 1
+        return np.zeros(7, np.float32)
+
+
+@pytest.fixture()
+def scrub_session(tmp_path):
+    from hulc_tpu.data.dataset import EpisodeStore
+    from hulc_tpu.data.fixtures import make_fixture_dataset
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.interactive import InteractiveSession
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+    root = make_fixture_dataset(tmp_path / "data", num_episodes=2, episode_len=16)
+    store = EpisodeStore(
+        root / "training", keys=["rgb_static", "rgb_gripper", "robot_obs", "scene_obs"],
+        cache="ram",
+    )
+    env = FakeCalvinEnv()
+    return InteractiveSession(store, env, _StubPolicy(), SceneObsTasks(), ep_len=3,
+                              replay_dir=tmp_path / "frames")
+
+
+def test_interactive_scrubbing(scrub_session):
+    s = scrub_session
+    assert s.frame == 0
+    s.handle("d")
+    assert s.frame == 1
+    s.handle("q")  # clipped to episode start
+    assert s.frame == 0
+    s.handle("e")  # clipped to episode end (len 16 -> frame 15)
+    assert s.frame == 15
+    # env mirrors the scrubbed dataset frame
+    want = s.frame_data()["robot_obs"]
+    np.testing.assert_allclose(np.asarray(s.env.get_obs()["robot_obs"]), want)
+    s.handle("n")
+    assert s.ep_idx == 1 and s.frame == 16
+
+
+def test_interactive_marks_and_rollouts(scrub_session):
+    s = scrub_session
+    s.handle("s")
+    s.handle("e")
+    msg = s.handle("w")
+    assert "goal marked" in msg and s.goal_frame == 15
+    out = s.handle("f")
+    assert "visual rollout done" in out
+    assert s.policy.steps == 3  # ep_len
+    assert s.frame == s.start_frame  # reference: rollout returns to start
+    out = s.handle("g open_drawer")
+    assert "lang rollout" in out
+    out = s.handle("v")
+    assert "saved" in out

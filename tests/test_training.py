@@ -191,3 +191,17 @@ def test_fsdp_param_sharding_step():
     step2 = tr2.make_train_step()
     _, losses2 = step2(state2, shard_batch_tree(raw, tr2.mesh), jax.random.key(0), jnp.asarray(0.01))
     np.testing.assert_allclose(fsdp_loss, float(losses2["total_loss"]), rtol=1e-4)
+
+
+def test_echo_factor_steps(fixture_root, tmp_path):
+    """echo_factor=E runs E optimizer steps per transferred host batch
+    (data echoing; each echo folds a fresh RNG from state.step)."""
+    cfg = get_config("gcbc_debug")
+    tcfg = TrainerConfig(
+        run_dir=str(tmp_path / "run"), max_epochs=1, log_every=1000,
+        donate_state=False, num_devices=2, echo_factor=3,
+    )
+    trainer = Trainer(cfg, tcfg)
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+    state = trainer.fit(loader, None, max_epochs=1, max_steps=6, resume=False)
+    assert int(state.step) == 6  # 2 host batches x 3 echoes
