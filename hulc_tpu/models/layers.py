@@ -23,7 +23,11 @@ import jax.numpy as jnp
 Array = jax.Array
 
 ACTIVATIONS = {
-    "relu": nn.relu,
+    # plain maximum, not jax.nn.relu: relu's custom JVP materializes a u32
+    # (x > 0) mask per activation in the backward (115 MB per conv layer at
+    # the bench batch — diagnosed round 2); maximum recomputes the compare
+    # from the stored activation instead.
+    "relu": lambda x: jnp.maximum(x, 0),
     "elu": nn.elu,
     "gelu": nn.gelu,
     "tanh": jnp.tanh,

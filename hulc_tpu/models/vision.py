@@ -46,15 +46,90 @@ class SpatialSoftmax(nn.Module):
         # then flattens — x varies with the *row* index for square maps.
         lin_c = jnp.linspace(-1.0, 1.0, w)
         lin_r = jnp.linspace(-1.0, 1.0, h)
-        x_map = jnp.repeat(lin_c, h)  # (w*h,) — matches reference layout
-        y_map = jnp.tile(lin_r, w)
 
-        flat = x.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(n * c, h * w)
-        attention = jax.nn.softmax(flat / temp, axis=1)
-        expected_x = jnp.sum(x_map * attention, axis=1)
-        expected_y = jnp.sum(y_map * attention, axis=1)
-        coords = jnp.stack([expected_x, expected_y], axis=-1)  # (n*c, 2)
+        # Softmax-expectation computed directly on the NHWC map: the earlier
+        # transpose-to-(N*C, H*W) formulation materialized dozens of fp32
+        # copies of the conv feature map in fwd+bwd (the single biggest HBM
+        # consumer of the train step, diagnosed round 2). Reductions run in
+        # fp32 (exp/sum accumulators); no layout change, so XLA keeps the
+        # whole thing in reduce fusions over the conv output.
+        z = x.astype(jnp.float32) / temp
+        m = jax.lax.stop_gradient(jnp.max(z, axis=(1, 2), keepdims=True))
+        e = jnp.exp(z - m)  # (n, h, w, c)
+        s = jnp.sum(e, axis=(1, 2))  # (n, c)
+        # x-coordinate indexes the row axis (reference repeat/tile quirk for
+        # square maps, vision_network.py:120-131)
+        expected_x = jnp.einsum("nhwc,h->nc", e, lin_c) / s
+        expected_y = jnp.einsum("nhwc,w->nc", e, lin_r) / s
+        coords = jnp.stack([expected_x, expected_y], axis=-1)  # (n, c, 2)
         return coords.reshape(n, c * 2)
+
+
+class SpaceToDepthConv(nn.Module):
+    """8x8/stride-4 VALID conv computed as a 2x2/stride-1 conv over a
+    4x4-space-to-depth input (the MLPerf TPU trick for small-channel first
+    convs). Bit-identical math — same dot-product terms, just regrouped —
+    but the contraction dim grows 3 -> 48, which fixes the catastrophic MXU
+    utilization of the direct form (conv0 fwd+wgrad was ~6 ms of the 28 ms
+    bench step; diagnosed round 2). The parameter keeps the logical
+    (8, 8, C, F) layout so checkpoints/converters/parity are unaffected.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    mode: str = "w"  # "w" | "hw" | "none"
+
+    BLOCK = 4
+    KERNEL = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        k, b4 = self.KERNEL, self.BLOCK
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mode = self.mode
+        if (mode == "hw" and (h % b4 or w % b4)) or (mode == "w" and w % b4):
+            mode = "none"
+        if mode == "w":
+            # width-only space-to-depth: (w, c) are the two minor dims, so
+            # grouping w into blocks of 4 is a PURE reshape — no transpose,
+            # no relayout copy (the full 4x4 s2d needs an (u,a,v,b)->(u,v,a,b)
+            # transpose that XLA lowers to ~2.5 ms of copies per camera at
+            # the bench batch). Channels grow 3 -> 12; kernel (8,8,3,F)
+            # reshapes to (8,2,12,F) the same way; stride (4,1).
+            xs = x.reshape(n, h, w // b4, b4 * c)
+            ks = kernel.reshape(k, k // b4, b4 * c, self.features)
+            y = jax.lax.conv_general_dilated(
+                xs.astype(self.dtype), ks.astype(self.dtype), (b4, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        if mode == "hw":
+            xs = (
+                x.reshape(n, h // b4, b4, w // b4, b4, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, h // b4, w // b4, b4 * b4 * c)
+            )
+            ks = (
+                kernel.reshape(k // b4, b4, k // b4, b4, c, self.features)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(k // b4, k // b4, b4 * b4 * c, self.features)
+            )
+            y = jax.lax.conv_general_dilated(
+                xs.astype(self.dtype), ks.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (b4, b4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class VisionNetworkStatic(nn.Module):
@@ -67,7 +142,7 @@ class VisionNetworkStatic(nn.Module):
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         act = ACTIVATIONS[self.cfg.activation]
         x = x.astype(self.dtype)
-        x = act(nn.Conv(32, (8, 8), strides=(4, 4), padding="VALID", dtype=self.dtype, name="conv0")(x))
+        x = act(SpaceToDepthConv(32, dtype=self.dtype, name="conv0")(x))
         x = act(nn.Conv(64, (4, 4), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv1")(x))
         x = act(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID", dtype=self.dtype, name="conv2")(x))
         x = SpatialSoftmax(temperature=self.cfg.spatial_softmax_temp, name="spatial_softmax")(x)
@@ -92,7 +167,7 @@ class NatureCNN(nn.Module):
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         act = ACTIVATIONS[self.cfg.activation]
         x = x.astype(self.dtype)
-        x = act(nn.Conv(32, (8, 8), strides=(4, 4), padding="VALID", dtype=self.dtype, name="conv0")(x))
+        x = act(SpaceToDepthConv(32, dtype=self.dtype, name="conv0")(x))
         x = act(nn.Conv(64, (4, 4), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv1")(x))
         x = act(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID", dtype=self.dtype, name="conv2")(x))
         x = x.reshape(x.shape[0], -1)

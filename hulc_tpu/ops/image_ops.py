@@ -59,13 +59,27 @@ def random_shift(rng: Array, imgs: Array, pad: int, method: str = "auto") -> Arr
     # re-sample the edge row/col, so no padded copy is ever materialized and
     # the contraction dim shrinks from H+2*pad to H (bit-identical output).
     acc = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    x, _ = _shift_matmul(imgs.astype(acc), shifts, pad)
+    return x.astype(imgs.dtype)
+
+
+def _shift_matmul(x: Array, shifts: Array, pad: int):
+    """Crop-at-offset as two batched one-hot contractions on the MXU.
+
+    Returns ``(y, layout)`` with y in NHWC order. (An (N,H,C,W)-emitting
+    dot_general variant — matching the conv's internal layout to skip a
+    relayout copy — was tried in round 2 and made XLA materialize MORE:
+    10.1 GB vs 5.8 GB encoder-forward traffic. Keep the einsum form.)
+    """
+    b, h, w, c = x.shape
+    acc = x.dtype
     idx_r = jnp.clip(shifts[:, 0, None] + jnp.arange(h) - pad, 0, h - 1)
     idx_c = jnp.clip(shifts[:, 1, None] + jnp.arange(w) - pad, 0, w - 1)
-    rows = jax.nn.one_hot(idx_r, h, dtype=acc)  # (B, H, H)
-    cols = jax.nn.one_hot(idx_c, w, dtype=acc)  # (B, W, W)
-    x = jnp.einsum("nrp,npwc->nrwc", rows, imgs.astype(acc))
-    x = jnp.einsum("nwq,nrqc->nrwc", cols, x)
-    return x.astype(imgs.dtype)
+    rows = jax.nn.one_hot(idx_r, h, dtype=acc)  # (B, H_out, H_src)
+    cols = jax.nn.one_hot(idx_c, w, dtype=acc)  # (B, W_out, W_src)
+    y = jnp.einsum("nrp,npwc->nrwc", rows, x)
+    y = jnp.einsum("nwq,nrqc->nrwc", cols, y)
+    return y, "NHWC"
 
 
 def preprocess_rgb(
@@ -94,13 +108,25 @@ def preprocess_rgb(
     """
     b, s, h, w, c = imgs.shape
     x = imgs.reshape(b * s, h, w, c)
+    # The affine normalization ((v/255 - mean)/std) commutes with the crop
+    # (both are linear), so it folds into the shift's output epilogue:
+    # one fused multiply-add instead of a separate f32 chain. Keeping the
+    # whole path in the compute dtype matters on TPU: the f32 intermediates
+    # materialized ~6 full-batch (0.5 GB) HBM tensors per modality and made
+    # the train step bandwidth-bound (diagnosed round 2; u8 values are exact
+    # in bf16 and the model consumes bf16 anyway).
+    scale = 1.0 / (255.0 * std)
+    shift = -mean / std
     if rng is not None and shift_pad > 0:
         if jax.default_backend() == "tpu":
-            # shift in bf16 (exact for u8 values), normalize without
-            # converting back to uint8
-            x = random_shift(rng, x.astype(jnp.bfloat16), shift_pad, method="matmul")
-        else:
-            x = random_shift(rng, x, shift_pad, method="slice")
+            acc = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+            shifts = jax.random.randint(rng, (b * s, 2), 0, 2 * shift_pad + 1)
+            y, _ = _shift_matmul(x.astype(acc), shifts, shift_pad)
+            return (y * acc(scale) + acc(shift)).astype(out_dtype)
+        x = random_shift(rng, x, shift_pad, method="slice")
+    if out_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        # eval path, bf16 model: normalize directly in bf16 (no f32 hop)
+        return x.astype(jnp.bfloat16) * jnp.bfloat16(scale) + jnp.bfloat16(shift)
     x = x.astype(jnp.float32) * (1.0 / 255.0)
     return ((x - mean) / std).astype(out_dtype)
 
