@@ -44,6 +44,11 @@ def main(argv=None):
     p.add_argument("--dataset-dir", default=None, help="for statistics + lang embeddings")
     p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
     p.add_argument("--env-factory", default=None, help="module:function -> (env, oracle)")
+    p.add_argument(
+        "--oracle-calibration",
+        default=None,
+        help="oracle_regions.json from calibrate_oracle (data-derived containment boxes)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--batched", action="store_true",
@@ -104,7 +109,12 @@ def main(argv=None):
     if args.env_factory:
         env, oracle = _load_env_factory(args.env_factory)()
     else:
-        env, oracle = FakeCalvinEnv(), SceneObsTasks()
+        regions = None
+        if args.oracle_calibration:
+            import json as _json
+
+            regions = _json.loads(pathlib.Path(args.oracle_calibration).read_text())
+        env, oracle = FakeCalvinEnv(), SceneObsTasks(regions=regions)
 
     # restrict chains to tasks we hold language embeddings for
     from hulc_tpu.evaluation.lh_eval import get_sequences

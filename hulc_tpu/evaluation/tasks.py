@@ -91,10 +91,33 @@ def _wrap_deg(d: float) -> float:
 
 
 class SceneObsTasks:
-    """scene_obs-diff task oracle with the calvin_env Tasks interface."""
+    """scene_obs-diff task oracle with the calvin_env Tasks interface.
 
-    def __init__(self, tasks: Optional[Sequence[str]] = None):
+    The containment region boxes default to the nominal playtable values
+    above; pass ``regions`` (or use :meth:`from_calibration`) to use boxes
+    derived from real dataset traces — see
+    :mod:`hulc_tpu.evaluation.calibrate_oracle`.
+    """
+
+    def __init__(
+        self,
+        tasks: Optional[Sequence[str]] = None,
+        regions: Optional[Dict] = None,
+    ):
         self.tasks = list(tasks) if tasks is not None else list(ALL_TASKS)
+        regions = regions or {}
+        self.drawer_box = tuple(tuple(b) for b in regions.get("drawer_box", DRAWER_BOX))
+        self.slider_box = tuple(tuple(b) for b in regions.get("slider_box", SLIDER_BOX))
+        self.table_z = float(regions.get("table_z", TABLE_Z))
+        self.table_z_tol = float(regions.get("table_z_tol", 0.02))
+
+    @classmethod
+    def from_calibration(cls, path, tasks: Optional[Sequence[str]] = None) -> "SceneObsTasks":
+        """Oracle with region boxes loaded from a calibrate_oracle JSON."""
+        import json
+        import pathlib
+
+        return cls(tasks=tasks, regions=json.loads(pathlib.Path(path).read_text()))
 
     # calvin_env.envs.tasks.Tasks API surface
     def get_task_info(self, start_info: Dict, end_info: Dict) -> Set[str]:
@@ -119,11 +142,11 @@ class SceneObsTasks:
         s = _block_state(info["scene_obs"], block)
         pos = s[:3]
         out = set()
-        if _in_box(pos, DRAWER_BOX):
+        if _in_box(pos, self.drawer_box):
             out.add("drawer")
-        elif _in_box(pos, SLIDER_BOX):
+        elif _in_box(pos, self.slider_box):
             out.add("plank")
-        elif abs(pos[2] - TABLE_Z) < 0.02:
+        elif abs(pos[2] - self.table_z) < self.table_z_tol:
             out.add("table")
         return out
 
@@ -169,7 +192,7 @@ class SceneObsTasks:
             return started_there and lifted and held
 
         if task in PLACE_TASKS:
-            box = DRAWER_BOX if PLACE_TASKS[task] == "drawer" else SLIDER_BOX
+            box = self.drawer_box if PLACE_TASKS[task] == "drawer" else self.slider_box
             for block in BLOCKS:
                 was_held = "gripper" in self._contacts(start, block)
                 now_in = _in_box(_block_state(e_obs, block)[:3], box)
@@ -181,7 +204,7 @@ class SceneObsTasks:
             for block in BLOCKS:
                 s_b, e_b = _block_state(s_obs, block), _block_state(e_obs, block)
                 started_table = "table" in self._contacts(start, block)
-                now_in = _in_box(e_b[:3], DRAWER_BOX) or "drawer" in self._contacts(end, block)
+                now_in = _in_box(e_b[:3], self.drawer_box) or "drawer" in self._contacts(end, block)
                 if started_table and now_in and "gripper" not in self._contacts(end, block):
                     return True
             return False

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--env-factory", default=None)
     p.add_argument("--rollout-sequences", type=int, default=128)
     p.add_argument("--rollout-ep-len", type=int, default=360)
+    p.add_argument(
+        "--val-max-batches", type=int, default=None,
+        help="cap validation batches per epoch (default: full val set)",
+    )
     args = p.parse_args(argv)
 
     # multi-host pods: HULC_TPU_COORDINATOR=host:port triggers
@@ -81,6 +85,7 @@ def main(argv=None):
         lr_schedule=args.lr_schedule,
         kl_schedule=KLSchedule(kind=args.kl_schedule),
         seed=args.seed,
+        val_max_batches=args.val_max_batches,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(

@@ -75,8 +75,10 @@ class TrainerConfig:
     # reference to port — SURVEY.md §5)
     profile_start: Optional[int] = None
     profile_steps: int = 5
-    # cap validation batches per epoch (None = full val set)
-    val_max_batches: Optional[int] = 20
+    # cap validation batches per epoch. None (default) = full val set, like
+    # the reference; set a cap only for smoke runs — epoch-level model
+    # selection on a small val sample is noisy (VERDICT round 1).
+    val_max_batches: Optional[int] = None
     # batch echoing (Choi et al. 2020, "Faster Neural Network Training with
     # Data Echoing"): run E optimizer steps per transferred host batch. Each
     # echo reuses the device-resident uint8 batch but gets a fresh

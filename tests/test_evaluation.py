@@ -231,3 +231,71 @@ def test_calvin_env_adapter_contract():
     info = env.get_info()
     assert info["scene_obs"][0] > 1.0  # stepped
     assert env.get_obs() is obs2
+
+
+def test_oracle_calibration_from_traces(tmp_path):
+    """calibrate_oracle recovers region boxes from labeled lift episodes and
+    the calibrated oracle classifies containment with them."""
+    import json
+
+    from hulc_tpu.evaluation import calibrate_oracle as cal
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+    rng = np.random.default_rng(0)
+    split = tmp_path / "training"
+    split.mkdir()
+    # ground-truth geometry (deliberately different from the nominal boxes)
+    true_drawer = ((0.10, 0.20), (0.00, 0.10), (0.32, 0.36))
+    true_slider = ((-0.30, -0.20), (0.05, 0.15), (0.54, 0.60))
+    true_table_z = 0.44
+
+    def sample(box):
+        return [rng.uniform(lo, hi) for lo, hi in box]
+
+    tasks, ranges = [], []
+    frame = 0
+    blocks = {"block_red": slice(6, 12), "block_blue": slice(12, 18), "block_pink": slice(18, 24)}
+    for i, (task_surf, box) in enumerate(
+        [("drawer", true_drawer)] * 12 + [("slider", true_slider)] * 12 + [("table", None)] * 6
+    ):
+        color = ["red", "blue", "pink"][i % 3]
+        scene = rng.uniform(-1, 1, 24)
+        pos = sample(box) if box else [rng.uniform(-0.1, 0.3), rng.uniform(-0.1, 0.2), true_table_z]
+        scene[blocks[f"block_{color}"]][:] = np.concatenate([pos, rng.uniform(-1, 1, 3)])
+        for k in range(2):  # 2-frame "episode" per annotation
+            np.savez(split / f"episode_{frame:07d}.npz", scene_obs=scene.astype(np.float32))
+            frame += 1
+        tasks.append(f"lift_{color}_block_{task_surf}")
+        ranges.append((frame - 2, frame - 1))
+    np.save(split / "ep_start_end_ids.npy", np.asarray([[0, frame - 1]], np.int64))
+    lang_dir = split / "lang_paraphrase-MiniLM-L3-v2"
+    lang_dir.mkdir()
+    np.save(
+        lang_dir / "auto_lang_ann.npy",
+        {"language": {"ann": tasks, "task": tasks, "emb": np.zeros((len(tasks), 1, 384), np.float32)},
+         "info": {"indx": ranges}},
+        allow_pickle=True,
+    )
+
+    out = tmp_path / "regions.json"
+    cal.main(["--data", str(split), "--out", str(out), "--margin", "0.02"])
+    regions = json.loads(out.read_text())
+    # recovered boxes must contain the true regions
+    for name, true_box in [("drawer_box", true_drawer), ("slider_box", true_slider)]:
+        for (lo, hi), (tlo, thi) in zip(regions[name], true_box):
+            assert lo <= tlo + 0.04 and hi >= thi - 0.04, (name, regions[name])
+    assert abs(regions["table_z"] - true_table_z) < 0.01
+
+    oracle = SceneObsTasks.from_calibration(out)
+    def info_for(pos):
+        scene = np.zeros(24)
+        scene[6:9] = pos
+        return {"scene_obs": scene}
+    in_drawer = [np.mean(b) for b in true_drawer]
+    assert oracle._contacts(info_for(in_drawer), "block_red") == {"drawer"}
+    in_slider = [np.mean(b) for b in true_slider]
+    assert oracle._contacts(info_for(in_slider), "block_red") == {"plank"}
+    assert oracle._contacts(info_for([0.0, 0.0, true_table_z]), "block_red") == {"table"}
+    # end-to-end: lift from the (calibrated) drawer succeeds
+    end = info_for([in_drawer[0], in_drawer[1], in_drawer[2] + 0.2])
+    assert "lift_red_block_drawer" in oracle.get_task_info(info_for(in_drawer), end)
