@@ -201,6 +201,12 @@ class HulcConfig:
     lang_dim: int = 384
     proj_vis_lang_dim: int = 32  # output dim of contrastive projections
     compute_dtype: str = "float32"  # "float32" | "bfloat16" for conv/matmul
+    # fuse the vis+lang training passes into one 2B-batch pass (identical
+    # estimator; per-modality losses recovered from per-sample reductions).
+    # Default False: on v5e the in-graph concat of the image batches costs
+    # more in relayout copies (~6 ms measured) than the fused pass saves
+    # (~2 ms); fusing would pay off only with a loader-side fused schema.
+    fuse_modalities: bool = False
 
     def resolve(self) -> "HulcConfig":
         """Propagate inferred feature sizes (reference setup_input_sizes)."""

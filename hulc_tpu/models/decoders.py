@@ -49,11 +49,15 @@ def decoder_carry(cfg: ActionDecoderConfig, batch_size: int):
     return h
 
 
-def _cross_entropy_gripper(gripper_logits: Array, gripper_gt: Array) -> Array:
+def _cross_entropy_gripper(
+    gripper_logits: Array, gripper_gt: Array, per_sample: bool = False
+) -> Array:
     """2-way CE on the discrete gripper channel; gt in {-1, 1} -> {0, 1}."""
     labels = (gripper_gt > 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(gripper_logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if per_sample:
+        return jnp.mean(nll, axis=tuple(range(1, nll.ndim)))
     return jnp.mean(nll)
 
 
@@ -131,19 +135,23 @@ class LogisticPolicyDecoder(nn.Module):
         gripper_logits = self.gripper_fc(y) if c.discrete_gripper else None
         return DecoderOutputs(logit_probs, log_scales, means, gripper_logits, new_carry)
 
-    def _loss_from_outputs(self, out: DecoderOutputs, actions: Array) -> Array:
+    def _loss_from_outputs(
+        self, out: DecoderOutputs, actions: Array, per_sample: bool = False
+    ) -> Array:
         c = self.cfg
         amin, amax = self._bounds()
         if c.discrete_gripper:
             nll = logistic_mixture_loss(
                 out.logit_probs, out.log_scales, out.means, actions[..., :-1],
-                amin, amax, c.num_classes, c.log_scale_min,
+                amin, amax, c.num_classes, c.log_scale_min, per_sample=per_sample,
             )
-            gripper_loss = _cross_entropy_gripper(out.gripper_logits, actions[..., -1])
+            gripper_loss = _cross_entropy_gripper(
+                out.gripper_logits, actions[..., -1], per_sample=per_sample
+            )
             return nll + c.gripper_alpha * gripper_loss
         return logistic_mixture_loss(
             out.logit_probs, out.log_scales, out.means, actions,
-            amin, amax, c.num_classes, c.log_scale_min,
+            amin, amax, c.num_classes, c.log_scale_min, per_sample=per_sample,
         )
 
     def _sample_from_outputs(self, rng: Array, out: DecoderOutputs) -> Array:
@@ -164,11 +172,12 @@ class LogisticPolicyDecoder(nn.Module):
         robot_obs: Array,
         *,
         deterministic: bool = True,
+        per_sample: bool = False,
     ) -> Array:
         out = self(latent_plan, perceptual_emb, latent_goal, deterministic=deterministic)
         if self.cfg.gripper_control:
             actions = world_to_tcp_frame(actions, robot_obs)
-        return self._loss_from_outputs(out, actions)
+        return self._loss_from_outputs(out, actions, per_sample=per_sample)
 
     def loss_and_act(
         self,
@@ -246,21 +255,26 @@ class DeterministicPolicyDecoder(nn.Module):
             y, new_carry = self.rnn(x, carry, deterministic=deterministic)
         return jnp.tanh(self.action_fc(y)), new_carry
 
-    def _criterion(self, pred: Array, target: Array) -> Array:
+    def _criterion(self, pred: Array, target: Array, per_sample: bool = False) -> Array:
         pred = pred.astype(jnp.float32)
         target = target.astype(jnp.float32)
         if self.cfg.criterion == "huber":
             diff = pred - target
             absd = jnp.abs(diff)
-            return jnp.mean(jnp.where(absd < 1.0, 0.5 * diff * diff, absd - 0.5))
-        return jnp.mean((pred - target) ** 2)
+            per_el = jnp.where(absd < 1.0, 0.5 * diff * diff, absd - 0.5)
+        else:
+            per_el = (pred - target) ** 2
+        if per_sample:
+            return jnp.mean(per_el, axis=tuple(range(1, per_el.ndim)))
+        return jnp.mean(per_el)
 
-    def loss(self, latent_plan, perceptual_emb, latent_goal, actions, robot_obs, *, deterministic=True):
+    def loss(self, latent_plan, perceptual_emb, latent_goal, actions, robot_obs, *,
+             deterministic=True, per_sample=False):
         pred, _ = self(latent_plan, perceptual_emb, latent_goal, deterministic=deterministic)
         # Note: the reference computes the TCP-frame criterion but then
         # *returns the world-frame one* (deterministic_decoder.py loss() —
         # the TCP result is discarded). We keep the world-frame loss.
-        return self._criterion(pred, actions)
+        return self._criterion(pred, actions, per_sample=per_sample)
 
     def loss_and_act(self, rng, latent_plan, perceptual_emb, latent_goal, actions, robot_obs, *, deterministic=True):
         del rng  # deterministic head

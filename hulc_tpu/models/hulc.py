@@ -300,6 +300,119 @@ class HulcModel(nn.Module):
     # Full training objective over the dual-modality batch
     # ------------------------------------------------------------------
 
+    def _fused_train_losses(
+        self,
+        rng: Array,
+        batch: Dict[str, ModalityBatch],
+        kl_beta: float,
+    ) -> Dict[str, Array]:
+        """One 2B-batch pass over [vis; lang] (see train_losses docstring)."""
+        cfg = self.cfg
+        vis, lang = batch["vis"], batch["lang"]
+        b = vis.actions.shape[0]
+
+        def cat(f):
+            a, c = getattr(vis, f), getattr(lang, f)
+            return jnp.concatenate([a, c], axis=0) if a is not None and c is not None else None
+
+        fused = ModalityBatch(
+            rgb_static=cat("rgb_static"),
+            rgb_gripper=cat("rgb_gripper"),
+            robot_obs=cat("robot_obs"),
+            actions=cat("actions"),
+            state_info_robot_obs=cat("state_info_robot_obs"),
+            depth_static=cat("depth_static"),
+            depth_gripper=cat("depth_gripper"),
+            rgb_tactile=cat("rgb_tactile"),
+        )
+        rng, k_plan = jax.random.split(rng)
+        perceptual_emb, visual_emb = self.encode(fused, deterministic=False)
+        latent_goal = jnp.concatenate(
+            [
+                self.encode_visual_goal(perceptual_emb[:b, -1], deterministic=False),
+                self.encode_language_goal(lang.lang, deterministic=False),
+            ],
+            axis=0,
+        )
+
+        zeros = jnp.zeros((), jnp.float32)
+        totals = {
+            "kl_loss": zeros,
+            "action_loss": zeros,
+            "total_loss": zeros,
+            "proprio_loss": zeros,
+            "lang_pred_loss": zeros,
+            "lang_contrastive_loss": zeros,
+            "lang_clip_loss": zeros,
+        }
+        if cfg.state_recons:
+            # fused mean == mean of the two halves' means (equal sizes)
+            totals["proprio_loss"] = self.perceptual_encoder.state_reconstruction_loss(
+                visual_emb, fused.robot_obs
+            )
+
+        if cfg.model_kind == "gcbc":
+            empty_plan = jnp.zeros((2 * b, 0), jnp.float32)
+            act_ps = self.action_decoder.loss(
+                empty_plan,
+                perceptual_emb,
+                latent_goal,
+                fused.actions,
+                fused.state_info_robot_obs,
+                deterministic=False,
+                per_sample=True,
+            )
+            _, seq_feat = self.plan_recognition(perceptual_emb, deterministic=False)
+            kl_ps = jnp.zeros((2 * b,), jnp.float32)
+        else:
+            pp_state = self.plan_proposal(perceptual_emb[:, 0], latent_goal)
+            pr_state, seq_feat = self.plan_recognition(perceptual_emb, deterministic=False)
+            sampled_plan = self.dist.rsample(k_plan, pr_state)
+            act_ps = self.action_decoder.loss(
+                self._decoder_plan(sampled_plan),
+                perceptual_emb,
+                latent_goal,
+                fused.actions,
+                fused.state_info_robot_obs,
+                deterministic=False,
+                per_sample=True,
+            )
+            kl_ps = kl_beta * self.dist.balanced_kl(
+                pr_state, pp_state, cfg.loss.kl_balancing_mix, per_sample=True
+            )
+
+        mask = lang.use_for_aux_lang_loss
+        if cfg.use_bc_z_auxiliary_loss:
+            totals["lang_pred_loss"] = self.bc_z_loss(seq_feat[b:], lang.lang, mask)
+        if cfg.use_clip_auxiliary_loss:
+            totals["lang_clip_loss"] = self.clip_loss(seq_feat[b:], latent_goal[b:], mask)
+        if cfg.use_mia_auxiliary_loss:
+            totals["lang_contrastive_loss"] = self.mia_loss(
+                seq_feat[b:], latent_goal[b:], mask, deterministic=False
+            )
+
+        per_mod: Dict[str, Array] = {}
+        for scope, sl in (("vis", slice(0, b)), ("lang", slice(b, None))):
+            act = jnp.mean(act_ps[sl])
+            kl = jnp.mean(kl_ps[sl])
+            per_mod[f"action_loss_{scope}"] = act
+            per_mod[f"kl_loss_scaled_{scope}"] = kl
+            per_mod[f"total_loss_{scope}"] = act + kl
+        # normalize by number of datasets (hulc.py:491); == fused means
+        totals["action_loss"] = jnp.mean(act_ps)
+        totals["kl_loss"] = jnp.mean(kl_ps)
+        totals["total_loss"] = totals["action_loss"] + totals["kl_loss"]
+        if cfg.state_recons:
+            totals["total_loss"] += cfg.loss.state_recon_beta * totals["proprio_loss"]
+        if cfg.use_bc_z_auxiliary_loss:
+            totals["total_loss"] += cfg.loss.bc_z_auxiliary_loss_beta * totals["lang_pred_loss"]
+        if cfg.use_mia_auxiliary_loss:
+            totals["total_loss"] += cfg.loss.mia_auxiliary_loss_beta * totals["lang_contrastive_loss"]
+        if cfg.use_clip_auxiliary_loss:
+            totals["total_loss"] += cfg.loss.clip_auxiliary_loss_beta * totals["lang_clip_loss"]
+        totals.update(per_mod)
+        return totals
+
     def train_losses(
         self,
         rng: Array,
@@ -310,8 +423,23 @@ class HulcModel(nn.Module):
 
         batch: {"vis": ModalityBatch, "lang": ModalityBatch} (either may be
         absent — the dict structure is static under jit).
+
+        With ``cfg.fuse_modalities=True`` (and both modalities present at
+        equal batch shapes) the two passes are FUSED into one 2B-batch pass
+        through encoders/plan nets/decoder. The estimator is identical:
+        equal halves make mean-of-means equal the fused mean, and
+        per-modality logging is recovered from per-sample losses. Off by
+        default: on v5e the in-graph image concat costs more in relayout
+        copies than the fused pass saves (see config.py).
         """
         cfg = self.cfg
+        if (
+            cfg.fuse_modalities
+            and set(batch) == {"vis", "lang"}
+            and batch["vis"].actions.shape == batch["lang"].actions.shape
+            and batch["vis"].rgb_static.shape == batch["lang"].rgb_static.shape
+        ):
+            return self._fused_train_losses(rng, batch, kl_beta)
         zeros = jnp.zeros((), jnp.float32)
         totals = {
             "kl_loss": zeros,

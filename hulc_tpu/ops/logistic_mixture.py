@@ -92,16 +92,23 @@ def logistic_mixture_loss(
     act_max_bound: Array,
     num_classes: int,
     log_scale_min: float = -7.0,
+    per_sample: bool = False,
 ) -> Array:
-    """Scalar NLL: -mean over batch/time of the per-sample sum over dims.
+    """NLL: -mean over batch/time of the per-sample sum over dims.
 
     Matches the reference reduction (logistic_decoder_rnn.py:230):
-    ``-sum_over_dims(logsumexp).mean()``.
+    ``-sum_over_dims(logsumexp).mean()``. With ``per_sample=True`` the
+    batch dim stays: returns (B,) with the mean taken over time/dims only
+    (``mean(result) == scalar form``) — used by the fused dual-modality
+    training path to recover per-modality losses from one batched pass.
     """
     lp = logistic_mixture_log_prob(
         logit_probs, log_scales, means, actions, act_min_bound, act_max_bound, num_classes, log_scale_min
     )
-    return -jnp.mean(jnp.sum(lp, axis=-1))
+    nll = -jnp.sum(lp, axis=-1)  # (B, S)
+    if per_sample:
+        return jnp.mean(nll, axis=tuple(range(1, nll.ndim)))
+    return jnp.mean(nll)
 
 
 def logistic_mixture_sample(

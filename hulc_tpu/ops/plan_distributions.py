@@ -133,11 +133,15 @@ class PlanDistribution:
         )
         return jnp.sum(per_dim, axis=-1)
 
-    def balanced_kl(self, posterior: PlanState, prior: PlanState, alpha: float) -> Array:
+    def balanced_kl(
+        self, posterior: PlanState, prior: PlanState, alpha: float, per_sample: bool = False
+    ) -> Array:
         """DreamerV2 KL balancing (hulc.py:539-561), mean over batch.
 
         alpha * KL(sg[post] || prior) + (1 - alpha) * KL(post || sg[prior]).
+        per_sample=True keeps the batch dim (mean of it == scalar form).
         """
-        kl_lhs = jnp.mean(self.kl(self.stop_gradient(posterior), prior))
-        kl_rhs = jnp.mean(self.kl(posterior, self.stop_gradient(prior)))
-        return alpha * kl_lhs + (1.0 - alpha) * kl_rhs
+        kl_lhs = self.kl(self.stop_gradient(posterior), prior)
+        kl_rhs = self.kl(posterior, self.stop_gradient(prior))
+        out = alpha * kl_lhs + (1.0 - alpha) * kl_rhs
+        return out if per_sample else jnp.mean(out)

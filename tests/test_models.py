@@ -168,3 +168,90 @@ def test_decoder_act_streaming_consistency():
     assert actions.shape == (2, 1, 7)
     assert set(np.unique(np.asarray(actions[..., -1]))) <= {-1.0, 1.0}
     assert np.abs(np.asarray(new_carry)).sum() > 0
+
+
+def test_per_sample_reductions_match_scalar():
+    """per_sample=True variants average back to the scalar forms exactly."""
+    import dataclasses
+
+    from hulc_tpu.config import get_config
+    from hulc_tpu.models import example_batch, init_params, make_model
+    from hulc_tpu.models.plan_nets import make_plan_distribution
+
+    cfg = get_config("hulc_debug")
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    mb = batch["vis"]
+    emb, _ = model.apply({"params": params}, mb, method=model.encode)
+    goal = model.apply({"params": params}, emb[:, -1], method=model.encode_visual_goal)
+
+    def dec_loss(per_sample):
+        return model.apply(
+            {"params": params},
+            method=lambda m: m.action_decoder.loss(
+                jnp.zeros((emb.shape[0], m.cfg.distribution.plan_dim)),
+                emb, goal, mb.actions, mb.state_info_robot_obs, per_sample=per_sample,
+            ),
+        )
+
+    ps = dec_loss(True)
+    assert ps.shape == (emb.shape[0],)
+    np.testing.assert_allclose(float(jnp.mean(ps)), float(dec_loss(False)), rtol=1e-6)
+
+    dist = make_plan_distribution(cfg.distribution)
+    rng = np.random.default_rng(0)
+    mk = lambda: dist.make_state(jnp.asarray(rng.normal(size=(4, dist.state_dim)), jnp.float32))
+    p, q = mk(), mk()
+    ps_kl = dist.balanced_kl(p, q, 0.8, per_sample=True)
+    assert ps_kl.shape == (4,)
+    np.testing.assert_allclose(float(jnp.mean(ps_kl)), float(dist.balanced_kl(p, q, 0.8)), rtol=1e-6)
+
+
+def test_fused_modality_losses_match_split_gcbc():
+    """The fused 2B-batch path computes the same losses as the per-modality
+    loop (GCBC: no plan sampling, so both paths are deterministic given the
+    same inputs; dropout rates are 0 in the debug config)."""
+    import dataclasses
+
+    from hulc_tpu.config import get_config
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    base = get_config("gcbc_debug")
+    batch = {"vis": example_batch(base), "lang": example_batch(base, lang=True)}
+
+    outs = {}
+    for fused in (True, False):
+        cfg = dataclasses.replace(base, fuse_modalities=fused)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), batch)
+        outs[fused] = model.apply(
+            {"params": params}, jax.random.key(1), batch, 0.01,
+            method=model.train_losses, rngs={"dropout": jax.random.key(2)},
+        )
+    for key in ["total_loss", "action_loss", "lang_clip_loss",
+                "action_loss_vis", "action_loss_lang"]:
+        np.testing.assert_allclose(
+            float(outs[True][key]), float(outs[False][key]), rtol=2e-5, atol=1e-5,
+        ), key
+
+
+def test_fused_modality_losses_hulc_finite():
+    """Full HULC fused path: runs, finite, and logs per-modality values."""
+    from hulc_tpu.config import get_config
+    from hulc_tpu.models import example_batch, init_params, make_model
+
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("hulc_debug"), fuse_modalities=True)
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    losses = model.apply(
+        {"params": params}, jax.random.key(1), batch, 0.01,
+        method=model.train_losses, rngs={"dropout": jax.random.key(2)},
+    )
+    for key in ["total_loss", "kl_loss", "action_loss", "lang_clip_loss",
+                "action_loss_vis", "action_loss_lang", "kl_loss_scaled_lang"]:
+        assert np.isfinite(float(losses[key])), key
+    assert float(losses["kl_loss"]) > 0
