@@ -49,6 +49,12 @@ def main(argv=None):
         default=None,
         help="oracle_regions.json from calibrate_oracle (data-derived containment boxes)",
     )
+    p.add_argument(
+        "--tsne-dump", action="store_true",
+        help="write evaluation/tsne_data_<epoch>.npz (ids/labels/latent_goals/plans)",
+    )
+    p.add_argument("--num-videos", type=int, default=0, help="record the first N chains")
+    p.add_argument("--video-dir", default=None, help="video output dir (default <run>/evaluation/videos)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--batched", action="store_true",
@@ -197,6 +203,9 @@ def main(argv=None):
             output_dir=out_dir,
             seed=args.seed,
             results_name=args.results_name,
+            num_videos=args.num_videos,
+            video_dir=pathlib.Path(args.video_dir) if args.video_dir else out_dir / "videos",
+            tsne_path=(out_dir / f"tsne_data_{epoch}.npz") if args.tsne_dump else None,
         )
         r = results[str(epoch)]
         print(

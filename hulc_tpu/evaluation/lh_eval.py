@@ -103,6 +103,7 @@ def evaluate_policy(
     num_videos: int = 0,
     video_dir: Optional[pathlib.Path] = None,
     results_name: str = "results.json",
+    tsne_path: Optional[pathlib.Path] = None,
 ) -> Dict:
     """Run the LH-MTLC protocol; returns the per-epoch results dict.
 
@@ -116,6 +117,9 @@ def evaluate_policy(
     task_attempts: Dict[str, int] = collections.defaultdict(int)
     task_successes: Dict[str, int] = collections.defaultdict(int)
     seq_lens = []
+    # latent-plan dump for t-SNE figures (reference tsne_data_<epoch>.npz
+    # with ids/labels/latent_goals/plans, create_plots.py:402-445)
+    tsne: Dict[str, list] = {"ids": [], "labels": [], "latent_goals": [], "plans": []}
 
     for i, chain in enumerate(sequences):
         if initial_states is not None:
@@ -128,7 +132,14 @@ def evaluate_policy(
         for task in chain:
             instruction = (instructions or {}).get(task, task)
             task_attempts[task] += 1
-            if rollout(env, policy, task, instruction, oracle, ep_len, frames=frames):
+            ok = rollout(env, policy, task, instruction, oracle, ep_len, frames=frames)
+            state = getattr(policy, "_state", None)
+            if tsne_path is not None and state is not None:
+                tsne["ids"].append(i)
+                tsne["labels"].append(task)
+                tsne["latent_goals"].append(np.asarray(state.latent_goal[0], np.float32))
+                tsne["plans"].append(np.asarray(state.plan[0], np.float32).reshape(-1))
+            if ok:
                 task_successes[task] += 1
                 done_count += 1
             else:
@@ -138,6 +149,17 @@ def evaluate_policy(
         for k in range(done_count):
             chain_successes[k] += 1
         seq_lens.append(done_count)
+
+    if tsne_path is not None and tsne["ids"]:
+        tsne_path = pathlib.Path(tsne_path)
+        tsne_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            tsne_path,
+            ids=np.asarray(tsne["ids"], np.int64),
+            labels=np.asarray(tsne["labels"]),
+            latent_goals=np.stack(tsne["latent_goals"]),
+            plans=np.stack(tsne["plans"]),
+        )
 
     results = build_results(epoch, seq_lens, chain_successes, len(sequences), task_successes, task_attempts)
     write_results(results, output_dir, results_name)

@@ -284,6 +284,41 @@ def plot_ranking(multi, labels, out_path):
     plt.close(fig)
 
 
+def load_tsne_data(run_dir) -> Dict[int, pathlib.Path]:
+    """{epoch: tsne_data_<epoch>.npz path} under <run>/evaluation
+    (written by evaluate.py --tsne-dump; reference create_plots.py:150-163)."""
+    out = {}
+    for f in (pathlib.Path(run_dir) / "evaluation").glob("tsne_data_*.npz"):
+        try:
+            out[int(f.stem.split("_")[-1])] = f
+        except ValueError:
+            continue
+    return out
+
+
+def create_tsne_figures(training_dirs, out_dir) -> List[pathlib.Path]:
+    """Best-epoch latent-plan t-SNE per run (reference create_tsne_plot)."""
+    out_dir = pathlib.Path(out_dir)
+    written = []
+    for d in training_dirs:
+        d = pathlib.Path(d)
+        results_f = d / "evaluation" / "results.json"
+        tsne_files = load_tsne_data(d)
+        if not results_f.exists() or not tsne_files:
+            continue
+        results = load_results(results_f)
+        epochs = [e for e in results if int(e) in tsne_files]
+        if not epochs:
+            continue
+        best = max(epochs, key=lambda e: results[e]["avg_seq_len"])
+        data = np.load(tsne_files[int(best)], allow_pickle=True)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"latent_plans_{d.name}_{best}.png"
+        plot_tsne(data["plans"], [str(l) for l in data["labels"]], path)
+        written.append(path)
+    return written
+
+
 def create_multi_plots(training_dirs, out_dir, labels: Optional[Sequence[str]] = None):
     """All cross-run comparison figures into out_dir; returns written paths."""
     multi = load_multi_results(training_dirs)
@@ -305,6 +340,7 @@ def create_multi_plots(training_dirs, out_dir, labels: Optional[Sequence[str]] =
         path = out_dir / name
         fn(multi, list(labels), path)
         written.append(path)
+    written += create_tsne_figures(training_dirs, out_dir)
     return written
 
 

@@ -299,3 +299,43 @@ def test_oracle_calibration_from_traces(tmp_path):
     # end-to-end: lift from the (calibrated) drawer succeeds
     end = info_for([in_drawer[0], in_drawer[1], in_drawer[2] + 0.2])
     assert "lift_red_block_drawer" in oracle.get_task_info(info_for(in_drawer), end)
+
+
+def test_evaluate_policy_tsne_dump(tmp_path, debug_policy):
+    """--tsne-dump protocol artifact: tsne_data_<epoch>.npz with
+    ids/labels/latent_goals/plans (reference create_plots.py:402-445)."""
+    env = FakeCalvinEnv()
+    sequences = [["open_drawer", "move_slider_left"], ["turn_on_led", "close_drawer"]]
+    tsne_path = tmp_path / "tsne_data_3.npz"
+    evaluate_policy(
+        debug_policy, env, epoch=3, sequences=sequences, ep_len=3,
+        output_dir=tmp_path, tsne_path=tsne_path,
+    )
+    data = np.load(tsne_path, allow_pickle=True)
+    n = len(data["ids"])
+    assert n >= 2  # at least the first task of each chain was attempted
+    assert data["labels"].shape == (n,)
+    assert str(data["labels"][0]) in {"open_drawer", "turn_on_led"}
+    assert data["latent_goals"].shape[0] == n and data["latent_goals"].ndim == 2
+    assert data["plans"].shape[0] == n and data["plans"].ndim == 2
+
+
+def test_tsne_figures_from_dump(tmp_path):
+    from hulc_tpu.evaluation import plots
+
+    run = tmp_path / "run_x"
+    (run / "evaluation").mkdir(parents=True)
+    results = {"5": {"avg_seq_len": 2.0, "chain_sr": {str(k): 0.5 for k in range(1, 6)},
+                     "task_sr": {}}}
+    import json
+    (run / "evaluation" / "results.json").write_text(json.dumps(results))
+    rng = np.random.default_rng(0)
+    np.savez(
+        run / "evaluation" / "tsne_data_5.npz",
+        ids=np.arange(40),
+        labels=np.asarray(["open_drawer"] * 20 + ["move_slider_left"] * 20),
+        latent_goals=rng.normal(size=(40, 8)).astype(np.float32),
+        plans=np.concatenate([rng.normal(0, 1, (20, 16)), rng.normal(4, 1, (20, 16))]).astype(np.float32),
+    )
+    written = plots.create_tsne_figures([run], tmp_path / "figs")
+    assert len(written) == 1 and written[0].exists()
