@@ -152,3 +152,164 @@ def write_lang_annotations(
                 emb = embedder.embed([ann])
                 by_task[task] = {"ann": [ann], "emb": emb.astype(np.float32)}
         np.save(out_dir / "embeddings.npy", by_task, allow_pickle=True)
+
+
+# ---------------------------------------------------------------------------
+# Automatic task annotation of play data (the calvin_agent lang_ann pipeline:
+# conf/lang_ann.yaml keys prior_steps_window / reannotate)
+# ---------------------------------------------------------------------------
+
+# Instruction templates per task (fresh phrasings in the spirit of CALVIN's
+# synonymous-instruction bank; extend freely — training samples uniformly).
+TASK_INSTRUCTIONS: Dict[str, List[str]] = {
+    **{
+        f"rotate_{c}_block_{d}": [
+            f"rotate the {c} block towards the {d}",
+            f"turn the {c} block {d}",
+        ]
+        for c in ("red", "blue", "pink")
+        for d in ("right", "left")
+    },
+    **{
+        f"push_{c}_block_{d}": [
+            f"push the {c} block to the {d}",
+            f"slide the {c} block {d}wards",
+        ]
+        for c in ("red", "blue", "pink")
+        for d in ("right", "left")
+    },
+    "move_slider_left": ["move the sliding door to the left", "push the slider left"],
+    "move_slider_right": ["move the sliding door to the right", "push the slider right"],
+    "open_drawer": ["pull the drawer open", "open the drawer"],
+    "close_drawer": ["push the drawer closed", "close the drawer"],
+    **{
+        f"lift_{c}_block_{s}": [
+            f"pick up the {c} block from the {s}",
+            f"lift the {c} block off the {s}",
+        ]
+        for c in ("red", "blue", "pink")
+        for s in ("table", "slider", "drawer")
+    },
+    "place_in_slider": ["put the held block into the slider", "place the block in the sliding cabinet"],
+    "place_in_drawer": ["put the held block into the drawer", "place the block in the drawer"],
+    "stack_block": ["stack one block on top of another", "put a block onto another block"],
+    "unstack_block": ["take the top block off the stack", "unstack the blocks"],
+    "turn_on_lightbulb": ["switch on the light bulb", "turn the light bulb on"],
+    "turn_off_lightbulb": ["switch off the light bulb", "turn the light bulb off"],
+    "turn_on_led": ["switch on the led", "turn the led light on"],
+    "turn_off_led": ["switch off the led", "turn the led light off"],
+    "push_into_drawer": ["push a block into the open drawer", "sweep the block into the drawer"],
+}
+
+
+def annotate_play_data(
+    store,
+    oracle=None,
+    window: int = 64,
+    prior_steps_window: int = 64,
+    stride: int = 16,
+    seed: int = 0,
+) -> List[Tuple[str, str, Tuple[int, int]]]:
+    """Detect task completions in teleoperated play data with the task
+    oracle and emit (instruction, task, (start, end)) annotation triples.
+
+    Mirrors the calvin_agent annotation pipeline semantics: a sliding
+    ``window`` over each episode; when the oracle detects exactly one task
+    between the window's endpoints, the completion frame is located by
+    bisection and the annotated range covers the ``prior_steps_window``
+    frames leading up to it (conf/lang_ann.yaml prior_steps_window).
+    Overlapping detections of the same task event are deduplicated.
+
+    store: EpisodeStore loaded with at least the "scene_obs" key.
+    """
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+    oracle = oracle or SceneObsTasks()
+    rng = np.random.default_rng(seed)
+
+    def info_at(t: int) -> Dict:
+        return {"scene_obs": store.get_window(t, 1)["scene_obs"][0]}
+
+    annotations: List[Tuple[str, str, Tuple[int, int]]] = []
+    last_end: Dict[str, int] = {}
+    for a, b in store.episode_ranges:
+        t = a
+        while t + window <= b:
+            done = oracle.get_task_info(info_at(t), info_at(t + window))
+            if len(done) == 1:
+                task = next(iter(done))
+                # bisect the earliest offset at which the task reads complete
+                lo, hi = 1, window
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if task in oracle.get_task_info_for_set(
+                        info_at(t), info_at(t + mid), {task}
+                    ):
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                end = t + lo
+                if end - last_end.get(task, -(10**9)) > prior_steps_window // 2:
+                    start = max(a, end - prior_steps_window)
+                    templates = TASK_INSTRUCTIONS.get(task, [task.replace("_", " ")])
+                    ann = templates[int(rng.integers(len(templates)))]
+                    annotations.append((ann, task, (start, end)))
+                    last_end[task] = end
+            t += stride
+    return annotations
+
+
+def main(argv=None):
+    """CLI: detect/refresh language annotations for a CALVIN split.
+
+    Default: run the oracle detection and write auto_lang_ann.npy.
+    --reannotate: keep the existing annotation ranges and only re-embed the
+    sentences with the chosen backend (conf/lang_ann.yaml reannotate=false
+    semantics).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="language annotation pipeline")
+    p.add_argument("--data", required=True, help="split dir (training/ or validation/)")
+    p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
+    p.add_argument("--embedder", default="hash", choices=["hash", "minilm", "precomputed"])
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--prior-steps-window", type=int, default=64)
+    p.add_argument("--stride", type=int, default=16)
+    p.add_argument("--validation-embeddings", action="store_true")
+    p.add_argument("--reannotate", action="store_true", help="re-embed existing annotations only")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from hulc_tpu.data.dataset import EpisodeStore
+
+    split = pathlib.Path(args.data)
+    out_dir = split / args.lang_folder
+    if args.embedder == "minilm":
+        embedder = MiniLMEmbedder()
+    elif args.embedder == "precomputed":
+        embedder = PrecomputedEmbedder(out_dir / "auto_lang_ann.npy")
+    else:
+        embedder = HashEmbedder()
+
+    if args.reannotate:
+        data = np.load(out_dir / "auto_lang_ann.npy", allow_pickle=True).item()
+        annotations = list(
+            zip(data["language"]["ann"], data["language"]["task"],
+                [tuple(r) for r in data["info"]["indx"]])
+        )
+    else:
+        store = EpisodeStore(split, keys=["scene_obs"], cache="ram")
+        annotations = annotate_play_data(
+            store, window=args.window, prior_steps_window=args.prior_steps_window,
+            stride=args.stride, seed=args.seed,
+        )
+    write_lang_annotations(
+        out_dir, annotations, embedder, validation_embeddings=args.validation_embeddings
+    )
+    tasks = sorted({t for _, t, _ in annotations})
+    print(f"[lang_ann] wrote {len(annotations)} annotations ({len(tasks)} tasks) to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,41 @@ def test_offset_frame_numbering(tmp_path):
     batch = store.gather_padded("actions", [start + 20], [10], 12)
     np.testing.assert_array_equal(batch[0, :10], disk.get_window(start + 20, 10)["actions"])
     np.testing.assert_array_equal(batch[0, 11], batch[0, 9])  # pad repeats last
+
+
+def test_auto_annotation_pipeline(tmp_path):
+    """annotate_play_data detects scripted task events with the oracle and
+    the CLI writes a loadable auto_lang_ann.npy (lang_ann.yaml pipeline)."""
+    from hulc_tpu.data.dataset import EpisodeStore, LangWindowSampler
+    from hulc_tpu.data.language import annotate_play_data, main as lang_main
+
+    split = tmp_path / "training"
+    split.mkdir()
+    n = 200
+    scene = np.zeros((n, 24), np.float32)
+    # script: drawer opens over frames 40-70 (idx 1: 0 -> 0.2), LED turns on
+    # at frame 130 (idx 5: 0 -> 1)
+    scene[40:70, 1] = np.linspace(0.0, 0.2, 30)
+    scene[70:, 1] = 0.2
+    scene[130:, 5] = 1.0
+    for i in range(n):
+        np.savez(split / f"episode_{i:07d}.npz", scene_obs=scene[i])
+    np.save(split / "ep_start_end_ids.npy", np.asarray([[0, n - 1]], np.int64))
+
+    store = EpisodeStore(split, keys=["scene_obs"], cache="ram")
+    anns = annotate_play_data(store, window=64, prior_steps_window=32, stride=8)
+    tasks = {t for _, t, _ in anns}
+    assert "open_drawer" in tasks and "turn_on_led" in tasks
+    drawer = next(a for a in anns if a[1] == "open_drawer")
+    start, end = drawer[2]
+    assert 55 <= end <= 75 and end - start <= 32  # completion near frame ~65
+    led = next(a for a in anns if a[1] == "turn_on_led")
+    assert 125 <= led[2][1] <= 140
+
+    # CLI end-to-end with the hash embedder -> LangWindowSampler loads it
+    lang_main(["--data", str(split), "--window", "64",
+               "--prior-steps-window", "32", "--stride", "8"])
+    sampler = LangWindowSampler(split, min_window=8, max_window=16)
+    assert len(sampler) > 0
+    s = sampler.sample()
+    assert s.lang_idx >= 0
