@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun native eval-smoke
+.PHONY: test bench smoke dryrun native eval-smoke profile annotate-smoke
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -24,3 +24,12 @@ native:          ## (re)build the C++ shared-memory cache
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \
 	    --config gcbc_debug --num-sequences 4 --ep-len 5 --batched --num-envs 2
+
+profile:         ## op-level TPU profile of the train step (top ops by time)
+	$(PY) scripts/profile_step.py
+
+annotate-smoke:  ## oracle-driven language annotation on a fixture split
+	$(PY) -c "from hulc_tpu.data.fixtures import make_fixture_dataset; \
+	    make_fixture_dataset('/tmp/hulc_ann_fixture')"
+	$(PY) -m hulc_tpu.data.language --data /tmp/hulc_ann_fixture/training \
+	    --lang-folder lang_annotated --window 16 --prior-steps-window 8 --stride 4
