@@ -273,6 +273,8 @@ def main(argv=None):
     p.add_argument("--data", required=True, help="split dir (training/ or validation/)")
     p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
     p.add_argument("--embedder", default="hash", choices=["hash", "minilm", "precomputed"])
+    p.add_argument("--model-path", default=None,
+                   help="local MiniLM weights dir (required for --embedder minilm)")
     p.add_argument("--window", type=int, default=64)
     p.add_argument("--prior-steps-window", type=int, default=64)
     p.add_argument("--stride", type=int, default=16)
@@ -286,7 +288,9 @@ def main(argv=None):
     split = pathlib.Path(args.data)
     out_dir = split / args.lang_folder
     if args.embedder == "minilm":
-        embedder = MiniLMEmbedder()
+        if not args.model_path:
+            raise SystemExit("--embedder minilm requires --model-path (no network egress)")
+        embedder = MiniLMEmbedder(args.model_path)
     elif args.embedder == "precomputed":
         embedder = PrecomputedEmbedder(out_dir / "auto_lang_ann.npy")
     else:

@@ -276,6 +276,30 @@ _DRAWER_POS = (0.18, 0.05, 0.36)
 _STACK_DZ = 0.05
 
 
+def resets_for_env(pairs, env):
+    """Per-chain (robot_obs, scene_obs) reset vectors appropriate for ``env``.
+
+    Real calvin_env adapters expose ``get_env_state_for_initial_condition``
+    (the calvin_agent hook) — symbolic states go through it so the simulator
+    samples physically consistent resets. The built-in FakeCalvinEnv gets
+    the nominal-geometry vectors from :func:`initial_state_to_obs`. Unknown
+    envs get ``None`` (self-chosen resets) with a warning, because feeding
+    them fake-geometry vectors silently corrupts the protocol.
+    """
+    hook = getattr(env, "get_env_state_for_initial_condition", None)
+    if hook is not None:
+        return [hook(dict(state)) for state, _ in pairs]
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+
+    if env is None or isinstance(env, FakeCalvinEnv):
+        return [initial_state_to_obs(state) for state, _ in pairs]
+    print(
+        "[chain_sampler] env has no get_env_state_for_initial_condition; "
+        "chains will run from env-chosen resets (not the matched initial states)"
+    )
+    return None
+
+
 def initial_state_to_obs(state: State) -> Tuple[np.ndarray, np.ndarray]:
     """(robot_obs(15,), scene_obs(24,)) concrete reset vectors for a symbolic
     state, laid out for the scene_obs-driven oracle/env contract (tasks.py).

@@ -86,7 +86,23 @@ def main(argv=None):
     if args.checkpoint == "last":
         paths = [ckpt.latest_checkpoint(run_dir)]
     elif args.checkpoint == "best":
-        paths = [ckpt.best_checkpoint(run_dir, args.monitor_preset or "lh_sr")]
+        policy_name = args.monitor_preset or "lh_sr"
+        best = ckpt.best_checkpoint(run_dir, policy_name)
+        pol = ckpt.resolve_checkpoint_policy(policy_name)
+        journal_path = pathlib.Path(run_dir) / "saved_models" / "monitor.json"
+        scored = False
+        if pol.monitor and journal_path.exists():
+            import json as _json
+
+            journal = _json.loads(journal_path.read_text())
+            scored = any(pol.monitor in v for v in journal.values())
+        if not scored:
+            print(
+                f"[eval] WARNING: monitor '{pol.monitor}' was never recorded "
+                f"(train with the matching callback, e.g. --rollout for lh_sr); "
+                f"falling back to the LATEST checkpoint {best}"
+            )
+        paths = [best]
     elif args.checkpoint == "all":
         paths = ckpt.all_checkpoints(run_dir)
     else:
@@ -115,12 +131,12 @@ def main(argv=None):
     if args.env_factory:
         env, oracle = _load_env_factory(args.env_factory)()
     else:
-        regions = None
-        if args.oracle_calibration:
-            import json as _json
-
-            regions = _json.loads(pathlib.Path(args.oracle_calibration).read_text())
-        env, oracle = FakeCalvinEnv(), SceneObsTasks(regions=regions)
+        env = FakeCalvinEnv()
+        oracle = (
+            SceneObsTasks.from_calibration(args.oracle_calibration)
+            if args.oracle_calibration
+            else SceneObsTasks()
+        )
 
     # restrict chains to tasks we hold language embeddings for
     from hulc_tpu.evaluation.lh_eval import get_sequences
@@ -135,7 +151,7 @@ def main(argv=None):
 
         pairs = chain_sampler.get_sequences(args.num_sequences, seed=args.seed)
         sequences = [chain for _, chain in pairs]
-        initial_states = [chain_sampler.initial_state_to_obs(s) for s, _ in pairs]
+        initial_states = chain_sampler.resets_for_env(pairs, env)
     else:
         # embedding-restricted pools fall back to uniform sampling (not the
         # official protocol; numbers are not comparable to published results)
@@ -150,6 +166,12 @@ def main(argv=None):
         params = ckpt.restore_params(path, template)
         if args.batched:
             from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+
+            if args.num_videos or args.tsne_dump:
+                print(
+                    "[eval] WARNING: --num-videos/--tsne-dump are only "
+                    "supported by the sequential evaluator; ignored in --batched mode"
+                )
 
             if batched_envs is None:
                 if args.env_factory:

@@ -122,10 +122,19 @@ class InteractiveSession:
     def rollout_lang(self, instruction: str) -> str:
         from hulc_tpu.evaluation.lh_eval import rollout
 
+        embeddings = getattr(self.policy, "lang_embeddings", {}) or {}
+        if instruction not in embeddings:
+            known = ", ".join(sorted(embeddings)[:8])
+            return (
+                f"no embedding for {instruction!r}; known instructions include: "
+                f"{known or '(none loaded)'}"
+            )
         start = self.frame_data()
         self.env.reset(robot_obs=start.get("robot_obs"), scene_obs=start.get("scene_obs"))
-        instr = self.policy.lang_embeddings.get(instruction, instruction)
-        ok = rollout(self.env, self.policy, instruction, instr, self.oracle, self.ep_len)
+        ok = rollout(
+            self.env, self.policy, instruction, embeddings[instruction],
+            self.oracle, self.ep_len,
+        )
         self._sync_env()
         return f"lang rollout {'SUCCESS' if ok else 'FAIL'} ({instruction})"
 
@@ -186,6 +195,12 @@ def _cv2_loop(session: InteractiveSession) -> None:
         k = cv2.waitKey(0) % 256
         if k == ord("x"):
             return
+        if k == ord("g"):
+            # the one command with an argument: read it from the terminal
+            instr = input("instruction> ").strip()
+            if instr:
+                print(session.handle(f"g {instr}"))
+            continue
         if k in key_cmds:
             print(session.handle(key_cmds[k]))
 

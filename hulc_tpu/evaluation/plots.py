@@ -130,13 +130,20 @@ def task_category(task: str) -> str:
 
 
 def load_multi_results(training_dirs: Sequence) -> Dict[str, Dict]:
-    """{run_name: results} for every dir containing evaluation/results.json."""
+    """{run_name: results} for every dir containing evaluation/results.json.
+
+    Duplicate basenames (common with date-parent layouts) are disambiguated
+    with the parent dir so runs never silently overwrite each other."""
     out = {}
     for d in training_dirs:
         d = pathlib.Path(d)
         f = d / "evaluation" / "results.json"
-        if f.exists():
-            out[d.name] = load_results(f)
+        if not f.exists():
+            continue
+        name = d.name
+        if name in out:
+            name = f"{d.parent.name}/{d.name}"
+        out[name] = load_results(f)
     return out
 
 

@@ -72,7 +72,7 @@ class RolloutLongHorizonCallback:
                 self.num_sequences, seed=self.seed + epoch
             )
             sequences = [chain for _, chain in pairs]
-            initial_states = [chain_sampler.initial_state_to_obs(s) for s, _ in pairs]
+            initial_states = chain_sampler.resets_for_env(pairs, self.env)
         else:
             sequences = get_sequences(
                 self.num_sequences, tasks=pool, seed=self.seed + epoch,

@@ -119,10 +119,13 @@ def preprocess_rgb(
     shift = -mean / std
     if rng is not None and shift_pad > 0:
         if jax.default_backend() == "tpu":
-            acc = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+            # the selection matmuls always run bf16 on TPU (bit-exact for
+            # uint8 inputs, 2x the f32 MXU rate); only the normalize
+            # epilogue follows the requested output precision
             shifts = jax.random.randint(rng, (b * s, 2), 0, 2 * shift_pad + 1)
-            y, _ = _shift_matmul(x.astype(acc), shifts, shift_pad)
-            return (y * acc(scale) + acc(shift)).astype(out_dtype)
+            y, _ = _shift_matmul(x.astype(jnp.bfloat16), shifts, shift_pad)
+            epi = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+            return (y.astype(epi) * epi(scale) + epi(shift)).astype(out_dtype)
         x = random_shift(rng, x, shift_pad, method="slice")
     if out_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
         # eval path, bf16 model: normalize directly in bf16 (no f32 hop)

@@ -106,7 +106,7 @@ def test_task_rates_prefers_counts():
 
 class _StubPolicy:
     def __init__(self):
-        self.lang_embeddings = {}
+        self.lang_embeddings = {"open_drawer": np.zeros(4, np.float32)}
         self.steps = 0
 
     def reset(self):
@@ -163,5 +163,7 @@ def test_interactive_marks_and_rollouts(scrub_session):
     assert s.frame == s.start_frame  # reference: rollout returns to start
     out = s.handle("g open_drawer")
     assert "lang rollout" in out
+    out = s.handle("g not_a_real_instruction")
+    assert "no embedding" in out  # graceful, not a KeyError crash
     out = s.handle("v")
     assert "saved" in out
