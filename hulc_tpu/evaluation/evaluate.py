@@ -73,7 +73,7 @@ def main(argv=None):
 
     from hulc_tpu.config import get_config
     from hulc_tpu.data.dataset import DatasetStatistics
-    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv, fake_env_for
     from hulc_tpu.evaluation.lh_eval import evaluate_policy
     from hulc_tpu.evaluation.policy import HulcPolicy
     from hulc_tpu.evaluation.tasks import SceneObsTasks
@@ -131,7 +131,7 @@ def main(argv=None):
     if args.env_factory:
         env, oracle = _load_env_factory(args.env_factory)()
     else:
-        env = FakeCalvinEnv()
+        env = fake_env_for(cfg)
         oracle = (
             SceneObsTasks.from_calibration(args.oracle_calibration)
             if args.oracle_calibration
@@ -179,7 +179,7 @@ def main(argv=None):
                     # reuse the oracle-creation env as the first lane
                     batched_envs = [env] + [factory_fn()[0] for _ in range(args.num_envs - 1)]
                 else:
-                    batched_envs = [env] + [FakeCalvinEnv() for _ in range(args.num_envs - 1)]
+                    batched_envs = [env] + [fake_env_for(cfg) for _ in range(args.num_envs - 1)]
             results = evaluate_policy_batched(
                 cfg, params,
                 num_sequences=args.num_sequences,

@@ -88,3 +88,13 @@ class FakeCalvinEnv:
             "depth_obs": {},
             "robot_obs": self.robot_obs.copy(),
         }
+
+
+def fake_env_for(cfg) -> "FakeCalvinEnv":
+    """FakeCalvinEnv emitting frames at the config's camera resolutions
+    (the constructor defaults are debug-sized; full-size configs crashed
+    the policy's encoder on mismatched flatten dims — caught round 2)."""
+    pe = cfg.perceptual_encoder
+    static = pe.rgb_static.input_size if pe.rgb_static.kind != "clip" else 200
+    gripper = pe.rgb_gripper.input_size if pe.rgb_gripper is not None else 84
+    return FakeCalvinEnv(static_px=static, gripper_px=gripper)

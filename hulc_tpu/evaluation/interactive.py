@@ -231,7 +231,7 @@ def main(argv=None):
 
     from hulc_tpu.config import get_config
     from hulc_tpu.data.dataset import EpisodeStore
-    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.fake_env import fake_env_for
     from hulc_tpu.evaluation.policy import HulcPolicy
     from hulc_tpu.evaluation.tasks import ALL_TASKS, SceneObsTasks
     from hulc_tpu.models import example_batch, init_params, make_model
@@ -261,7 +261,7 @@ def main(argv=None):
             keys=["rgb_static", "rgb_gripper", "robot_obs", "scene_obs"],
             cache="none",
         )
-    env = FakeCalvinEnv()
+    env = fake_env_for(cfg)
     session = InteractiveSession(store, env, policy, SceneObsTasks(), args.ep_len)
     use_cv2 = args.cv2
     if not use_cv2:

@@ -114,9 +114,9 @@ def main(argv=None):
 
             env, oracle = _load_env_factory(args.env_factory)()
         else:
-            from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+            from hulc_tpu.evaluation.fake_env import fake_env_for
 
-            env, oracle = FakeCalvinEnv(), SceneObsTasks()
+            env, oracle = fake_env_for(cfg), SceneObsTasks()
         emb_path = root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy"
         lang_embeddings = load_task_embeddings(emb_path) if emb_path.exists() else None
         from hulc_tpu.data.dataset import DatasetStatistics

@@ -339,3 +339,19 @@ def test_tsne_figures_from_dump(tmp_path):
     )
     written = plots.create_tsne_figures([run], tmp_path / "figs")
     assert len(written) == 1 and written[0].exists()
+
+
+def test_fake_env_matches_config_sizes():
+    """fake_env_for emits frames at the config's camera resolutions (the
+    bare constructor is debug-sized; full-size configs crashed the policy
+    encoder on mismatched flatten dims — caught in round 2)."""
+    from hulc_tpu.evaluation.fake_env import fake_env_for
+
+    env = fake_env_for(get_config("hulc"))
+    obs = env.reset()
+    assert obs["rgb_obs"]["rgb_static"].shape == (200, 200, 3)
+    assert obs["rgb_obs"]["rgb_gripper"].shape == (84, 84, 3)
+    env = fake_env_for(get_config("hulc_clip_vision"))
+    assert env.reset()["rgb_obs"]["rgb_static"].shape == (200, 200, 3)  # dataset px, not 224
+    env = fake_env_for(get_config("gcbc_debug"))
+    assert env.reset()["rgb_obs"]["rgb_static"].shape[0] < 200
