@@ -231,8 +231,11 @@ def annotate_play_data(
         return {"scene_obs": store.get_window(t, 1)["scene_obs"][0]}
 
     annotations: List[Tuple[str, str, Tuple[int, int]]] = []
-    last_end: Dict[str, int] = {}
     for a, b in store.episode_ranges:
+        # dedup window is per-episode: frame indices are contiguous across
+        # episodes, so a stale last_end from the previous episode would
+        # suppress an independent completion of the same task early here
+        last_end: Dict[str, int] = {}
         t = a
         while t + window <= b:
             done = oracle.get_task_info(info_at(t), info_at(t + window))

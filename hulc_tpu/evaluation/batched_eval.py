@@ -168,6 +168,11 @@ def evaluate_policy_batched(
         from hulc_tpu.evaluation.tasks import ALL_TASKS
 
         pool = restrict_task_pool(lang_embeddings, ALL_TASKS)
+        print(
+            "[batched_eval] WARNING: no chains supplied — falling back to "
+            "UNIFORM task sampling (not the official LH-MTLC protocol; use "
+            "chain_sampler.get_sequences for comparable numbers)."
+        )
         sequences = get_sequences(num_sequences, tasks=pool, seed=seed)
     lang_embeddings = lang_embeddings or {}
     lang_dim = (

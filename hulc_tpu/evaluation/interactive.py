@@ -10,7 +10,7 @@ keeping the reference's key bindings (rollouts_interactive.py:73-148):
   r     : re-reset the env to the current frame's scene state
   f     : policy rollout from START toward the visual GOAL (prints solved tasks)
   g <t> : language rollout for task/instruction <t> from the current frame
-  v     : save current/start/goal frames as PNGs
+  v     : save current/start/goal frames (.npy raw arrays; PNG needs no dep here)
   n     : next episode        x: quit
 
 Uses OpenCV windows when a display is available and falls back to a
@@ -119,8 +119,17 @@ class InteractiveSession:
         self._sync_env()
         return f"visual rollout done; solved: {sorted(solved)}"
 
-    def rollout_lang(self, instruction: str) -> str:
+    def rollout_lang(self, instruction: str, task: Optional[str] = None) -> str:
+        """Language-conditioned rollout; success judged by the oracle.
+
+        The oracle judges *task names*, not free text, so the instruction must
+        resolve to a known oracle task (it usually IS the task name, since
+        lang embeddings are keyed by task). Pass ``task`` explicitly when the
+        instruction is free text; otherwise an unresolvable instruction runs
+        without success judgment and reports UNJUDGED instead of a bogus FAIL.
+        """
         from hulc_tpu.evaluation.lh_eval import rollout
+        from hulc_tpu.evaluation.tasks import ALL_TASKS
 
         embeddings = getattr(self.policy, "lang_embeddings", {}) or {}
         if instruction not in embeddings:
@@ -129,10 +138,23 @@ class InteractiveSession:
                 f"no embedding for {instruction!r}; known instructions include: "
                 f"{known or '(none loaded)'}"
             )
+        task = task or (instruction if instruction in ALL_TASKS else None)
         start = self.frame_data()
         self.env.reset(robot_obs=start.get("robot_obs"), scene_obs=start.get("scene_obs"))
+        if task is None:
+            print(
+                f"[interactive] warning: {instruction!r} is not a known oracle "
+                "task; running the rollout without success judgment "
+                "(use 'g <task> <instruction>' to judge against a task)"
+            )
+            self.policy.reset()
+            obs = self.env.get_obs()
+            for _ in range(self.ep_len):
+                obs = self.env.step(self.policy.step(obs, embeddings[instruction]))
+            self._sync_env()
+            return f"lang rollout UNJUDGED ({instruction}; no oracle task)"
         ok = rollout(
-            self.env, self.policy, instruction, embeddings[instruction],
+            self.env, self.policy, task, embeddings[instruction],
             self.oracle, self.ep_len,
         )
         self._sync_env()
@@ -172,7 +194,14 @@ class InteractiveSession:
         if cmd == "f":
             return self.rollout_visual()
         if cmd.startswith("g "):
-            return self.rollout_lang(cmd[2:].strip())
+            # "g <instruction>" or "g <task> <instruction>" for free text
+            rest = cmd[2:].strip()
+            from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+            first, _, tail = rest.partition(" ")
+            if tail and first in ALL_TASKS:
+                return self.rollout_lang(tail.strip(), task=first)
+            return self.rollout_lang(rest)
         if cmd == "v":
             return self.save_frames(self.replay_dir or pathlib.Path("/tmp/hulc_interactive"))
         if cmd == "n":

@@ -112,7 +112,16 @@ def evaluate_policy(
     embeddings resolve instruction strings).
     """
     oracle = oracle or SceneObsTasks()
-    sequences = sequences if sequences is not None else get_sequences(num_sequences, seed=seed)
+    if sequences is None:
+        print(
+            "[lh_eval] WARNING: no chains supplied — falling back to UNIFORM "
+            "task sampling, which is NOT the official LH-MTLC protocol. "
+            "Numbers will not be comparable to published results; use "
+            "hulc_tpu.evaluation.chain_sampler.get_sequences for "
+            "feasibility-filtered protocol chains (the eval CLI and rollout "
+            "callback do this automatically)."
+        )
+        sequences = get_sequences(num_sequences, seed=seed)
     chain_successes = np.zeros(CHAIN_LEN, np.int64)
     task_attempts: Dict[str, int] = collections.defaultdict(int)
     task_successes: Dict[str, int] = collections.defaultdict(int)

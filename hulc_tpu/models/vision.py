@@ -38,6 +38,16 @@ class SpatialSoftmax(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n, h, w, c = x.shape
+        # The reference's grid (meshgrid(cols, rows) + repeat/tile) only makes
+        # sense for square maps, and the NHWC-direct contraction below indexes
+        # x by the row axis to reproduce that quirk — reject non-square maps
+        # loudly instead of silently swapping axis lengths.
+        if h != w:
+            raise ValueError(
+                f"SpatialSoftmax requires a square feature map (got {h}x{w}); "
+                "the reference's coordinate grid (vision_network.py:120-131) is "
+                "square-only and this implementation mirrors its row/col quirk."
+            )
         if self.temperature is None:
             temp = self.param("temperature", nn.initializers.ones, (1,), jnp.float32)
         else:

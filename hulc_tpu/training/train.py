@@ -34,6 +34,17 @@ def main(argv=None):
     p.add_argument("--lr-schedule", default="constant")
     p.add_argument("--kl-schedule", default="constant", choices=["constant", "linear", "sigmoid"])
     p.add_argument("--cache", default="ram", choices=["ram", "none", "shm"])
+    p.add_argument(
+        "--checkpoint-policy", default="all",
+        help="checkpoint retention preset (all|val_action|lh_sr|task_sr|kl|"
+        "clip_loss|state_recon — reference conf/callbacks/checkpoint/*.yaml)",
+    )
+    p.add_argument(
+        "--echo-factor", type=int, default=1,
+        help="optimizer steps per transferred host batch (data echoing; >1 "
+        "when the input pipeline can't keep the device fed — see README "
+        "for the measured training-quality cost per echo level)",
+    )
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
@@ -86,6 +97,8 @@ def main(argv=None):
         kl_schedule=KLSchedule(kind=args.kl_schedule),
         seed=args.seed,
         val_max_batches=args.val_max_batches,
+        checkpoint_policy=args.checkpoint_policy,
+        echo_factor=args.echo_factor,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(
