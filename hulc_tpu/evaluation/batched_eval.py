@@ -155,6 +155,8 @@ def evaluate_policy_batched(
     policy: Optional[BatchedHulcPolicy] = None,
     results_name: str = "results.json",
     initial_states: Optional[List] = None,
+    num_videos: int = 0,
+    video_dir=None,
 ) -> Dict:
     """LH-MTLC protocol with E lockstep environments.
 
@@ -199,6 +201,7 @@ def evaluate_policy_batched(
     lane_steps = [0] * num_envs
     lane_start_info = [None] * num_envs
     lane_obs = [None] * num_envs
+    lane_frames = [None] * num_envs  # video capture (reference rollout_lh num_videos)
     done_counts = {}
     task_attempts = collections.defaultdict(int)
     task_successes = collections.defaultdict(int)
@@ -206,6 +209,7 @@ def evaluate_policy_batched(
     def start_lane(i) -> bool:
         if not chain_queue:
             lane_chain[i] = None
+            lane_frames[i] = None
             return False  # lane_obs[i] keeps the last observation (batch filler)
         idx, chain = chain_queue.popleft()
         lane_chain[i] = (idx, chain)
@@ -218,7 +222,18 @@ def evaluate_policy_batched(
             lane_obs[i] = envs[i].reset()
         lane_start_info[i] = envs[i].get_info()
         task_attempts[chain[0]] += 1
+        if idx < num_videos and video_dir is not None:
+            lane_frames[i] = [np.asarray(lane_obs[i]["rgb_obs"]["rgb_static"])]
+        else:
+            lane_frames[i] = None
         return True
+
+    def finish_video(i, idx):
+        if lane_frames[i]:
+            from hulc_tpu.evaluation.lh_eval import save_video
+
+            save_video(lane_frames[i], pathlib.Path(video_dir) / f"chain_{idx:04d}")
+        lane_frames[i] = None
 
     def default_emb(task):
         return lang_embeddings.get(task, np.zeros(lang_dim, np.float32))
@@ -242,6 +257,8 @@ def evaluate_policy_batched(
             lane_obs[i] = envs[i].step(actions[i])
             lane_steps[i] += 1
             idx, chain = lane_chain[i]
+            if lane_frames[i] is not None:
+                lane_frames[i].append(np.asarray(lane_obs[i]["rgb_obs"]["rgb_static"]))
             task = chain[lane_pos[i]]
             success = task in oracle.get_task_info_for_set(
                 lane_start_info[i], envs[i].get_info(), {task}
@@ -252,6 +269,7 @@ def evaluate_policy_batched(
                 lane_pos[i] += 1
                 if lane_pos[i] >= len(chain):
                     done_counts[idx] = len(chain)
+                    finish_video(i, idx)
                     replan[i] = start_lane(i)
                 else:
                     task_attempts[chain[lane_pos[i]]] += 1
@@ -260,6 +278,7 @@ def evaluate_policy_batched(
                     replan[i] = True
             elif timeout:
                 done_counts[idx] = lane_pos[i]
+                finish_video(i, idx)
                 replan[i] = start_lane(i)
             elif lane_steps[i] % policy.replan_freq == 0:
                 replan[i] = True

@@ -20,9 +20,24 @@ from hulc_tpu.evaluation.tasks import SceneObsTasks
 
 
 class RolloutLongHorizonCallback:
+    """Per-val-epoch 128-chain LH rollout — the reference's model-selection
+    signal (``eval_lh/avg_seq_len``, monitored by the lh_sr checkpoint preset).
+
+    Default mode is **batched**: all lanes advance in lockstep through ONE
+    jitted (E, ...) policy step (evaluation.batched_eval), and the compiled
+    :class:`BatchedHulcPolicy` is built once and reused across epochs with a
+    plain param swap (no re-jit, no re-trace — the params are an argument of
+    the jitted step). This is what makes the reference's per-epoch 128-chain
+    protocol affordable on TPU: the sequential evaluator pays a dispatch
+    round trip per env step per chain, the batched one amortizes it E-fold.
+
+    ``mode="sequential"`` keeps the one-env-at-a-time path for envs that
+    cannot be instantiated more than once per process.
+    """
+
     def __init__(
         self,
-        env,
+        env=None,
         oracle=None,
         num_sequences: int = 128,
         ep_len: int = 360,
@@ -32,8 +47,16 @@ class RolloutLongHorizonCallback:
         lang_embeddings: Optional[Dict] = None,
         statistics=None,
         seed: int = 0,
+        mode: str = "batched",
+        env_factory: Optional[Callable[[], object]] = None,
+        num_envs: int = 32,
+        num_videos: int = 0,
+        video_dir=None,
     ):
+        if env is None and env_factory is None:
+            raise ValueError("need env (sequential) or env_factory (batched)")
         self.env = env
+        self.env_factory = env_factory
         self.oracle = oracle or SceneObsTasks()
         self.num_sequences = num_sequences
         self.ep_len = ep_len
@@ -43,42 +66,99 @@ class RolloutLongHorizonCallback:
         self.lang_embeddings = lang_embeddings
         self.statistics = statistics
         self.seed = seed
+        self.mode = mode if (env_factory is not None or mode != "batched") else "sequential"
+        self.num_envs = num_envs
+        self.num_videos = num_videos
+        self.video_dir = video_dir
         self.best_avg_seq_len = -1.0
+        # persistent across epochs: compiled batched policy + env pool
+        self._batched_policy = None
+        self._envs = None
 
-    def on_epoch_end(self, trainer, state, epoch: int) -> Optional[Dict[str, float]]:
-        if epoch < self.skip_epochs or (epoch - self.skip_epochs) % self.rollout_freq != 0:
-            return None
+    def _task_pool_and_chains(self, epoch: int, env):
+        """(sequences, initial_states) for this epoch's protocol run."""
         from hulc_tpu.data.language import restrict_task_pool
         from hulc_tpu.evaluation.tasks import ALL_TASKS
 
-        policy = HulcPolicy(
-            trainer.cfg, state.params, statistics=self.statistics, seed=self.seed
-        )
         pool = restrict_task_pool(self.lang_embeddings, ALL_TASKS)
-        if self.lang_embeddings:
-            policy.lang_embeddings = self.lang_embeddings
-        else:
-            import numpy as np
-
-            policy.lang_embeddings = {
-                t: np.zeros(trainer.cfg.lang_dim, np.float32) for t in ALL_TASKS
-            }
-        initial_states = None
         if set(pool) == set(ALL_TASKS):
             # feasibility-filtered protocol chains + matched scene resets
             from hulc_tpu.evaluation import chain_sampler
 
-            pairs = chain_sampler.get_sequences(
-                self.num_sequences, seed=self.seed + epoch
-            )
-            sequences = [chain for _, chain in pairs]
-            initial_states = chain_sampler.resets_for_env(pairs, self.env)
-        else:
-            sequences = get_sequences(
+            pairs = chain_sampler.get_sequences(self.num_sequences, seed=self.seed + epoch)
+            return [chain for _, chain in pairs], chain_sampler.resets_for_env(pairs, env)
+        return (
+            get_sequences(
                 self.num_sequences, tasks=pool, seed=self.seed + epoch,
                 chain_len=min(5, len(pool)),
-            )
-        results = evaluate_policy(
+            ),
+            None,
+        )
+
+    def _default_embeddings(self, cfg):
+        import numpy as np
+
+        from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+        if self.lang_embeddings:
+            return self.lang_embeddings
+        return {t: np.zeros(cfg.lang_dim, np.float32) for t in ALL_TASKS}
+
+    def on_epoch_end(self, trainer, state, epoch: int) -> Optional[Dict[str, float]]:
+        if epoch < self.skip_epochs or (epoch - self.skip_epochs) % self.rollout_freq != 0:
+            return None
+        if self.mode == "batched":
+            results = self._run_batched(trainer, state, epoch)
+        else:
+            results = self._run_sequential(trainer, state, epoch)
+        r = results[str(epoch)]
+        metrics = {"eval_lh/avg_seq_len": r["avg_seq_len"]}
+        metrics.update({f"eval_lh/chain_sr_{k}": v for k, v in r["chain_sr"].items()})
+        self.best_avg_seq_len = max(self.best_avg_seq_len, r["avg_seq_len"])
+        trainer.logger.log(metrics, int(state.step), "rollout")
+        print(f"[rollout] epoch {epoch}: avg_seq_len={r['avg_seq_len']:.3f}")
+        return metrics
+
+    def _run_batched(self, trainer, state, epoch: int):
+        from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+
+        if self._envs is None:
+            self._envs = [
+                self.env_factory() for _ in range(min(self.num_envs, self.num_sequences))
+            ]
+        sequences, initial_states = self._task_pool_and_chains(epoch, self._envs[0])
+        video_dir = self.video_dir
+        if self.num_videos and video_dir is None:
+            import pathlib
+
+            video_dir = pathlib.Path(trainer.tcfg.run_dir) / "rollout_videos" / f"epoch_{epoch}"
+        results = evaluate_policy_batched(
+            trainer.cfg,
+            state.params,
+            envs=self._envs,
+            num_sequences=self.num_sequences,
+            ep_len=self.ep_len,
+            oracle=self.oracle,
+            sequences=sequences,
+            initial_states=initial_states,
+            lang_embeddings=self._default_embeddings(trainer.cfg),
+            statistics=self.statistics,
+            epoch=epoch,
+            seed=self.seed + epoch,
+            policy=self._batched_policy,  # None first epoch; reused after
+            num_videos=self.num_videos,
+            video_dir=video_dir,
+        )
+        self._batched_policy = results.pop("_policy", None)
+        return results
+
+    def _run_sequential(self, trainer, state, epoch: int):
+        policy = HulcPolicy(
+            trainer.cfg, state.params, statistics=self.statistics, seed=self.seed
+        )
+        policy.lang_embeddings = self._default_embeddings(trainer.cfg)
+        sequences, initial_states = self._task_pool_and_chains(epoch, self.env)
+        return evaluate_policy(
             policy,
             self.env,
             epoch=epoch,
@@ -89,14 +169,9 @@ class RolloutLongHorizonCallback:
             sequences=sequences,
             initial_states=initial_states,
             seed=self.seed + epoch,
+            num_videos=self.num_videos,
+            video_dir=self.video_dir,
         )
-        r = results[str(epoch)]
-        metrics = {"eval_lh/avg_seq_len": r["avg_seq_len"]}
-        metrics.update({f"eval_lh/chain_sr_{k}": v for k, v in r["chain_sr"].items()})
-        self.best_avg_seq_len = max(self.best_avg_seq_len, r["avg_seq_len"])
-        trainer.logger.log(metrics, int(state.step), "rollout")
-        print(f"[rollout] epoch {epoch}: avg_seq_len={r['avg_seq_len']:.3f}")
-        return metrics
 
 
 class RolloutCallback:

@@ -57,6 +57,17 @@ def main(argv=None):
     p.add_argument("--rollout-sequences", type=int, default=128)
     p.add_argument("--rollout-ep-len", type=int, default=360)
     p.add_argument(
+        "--rollout-mode", default="batched", choices=["batched", "sequential"],
+        help="batched = lockstep E-env jitted policy step (reuses the compiled "
+        "policy across epochs); sequential = one env at a time",
+    )
+    p.add_argument("--rollout-num-envs", type=int, default=32)
+    p.add_argument(
+        "--rollout-videos", type=int, default=0,
+        help="capture the first N chains as videos per rollout epoch "
+        "(reference rollout_lh num_videos)",
+    )
+    p.add_argument(
         "--val-max-batches", type=int, default=None,
         help="cap validation batches per epoch (default: full val set)",
     )
@@ -125,11 +136,14 @@ def main(argv=None):
         if args.env_factory:
             from hulc_tpu.evaluation.evaluate import _load_env_factory
 
-            env, oracle = _load_env_factory(args.env_factory)()
+            raw_factory = _load_env_factory(args.env_factory)
+            env, oracle = raw_factory()
+            env_factory = lambda: raw_factory()[0]  # noqa: E731
         else:
             from hulc_tpu.evaluation.fake_env import fake_env_for
 
             env, oracle = fake_env_for(cfg), SceneObsTasks()
+            env_factory = lambda: fake_env_for(cfg)  # noqa: E731
         emb_path = root / "validation" / "lang_paraphrase-MiniLM-L3-v2" / "embeddings.npy"
         lang_embeddings = load_task_embeddings(emb_path) if emb_path.exists() else None
         from hulc_tpu.data.dataset import DatasetStatistics
@@ -142,6 +156,10 @@ def main(argv=None):
                 skip_epochs=0,
                 lang_embeddings=lang_embeddings,
                 statistics=DatasetStatistics.load(root / "validation"),
+                mode=args.rollout_mode,
+                env_factory=env_factory,
+                num_envs=args.rollout_num_envs,
+                num_videos=args.rollout_videos,
             )
         )
 

@@ -82,3 +82,78 @@ def test_batched_eval_mixed_outcomes(params):
     assert results["chain_sr"]["1"] == 1.0  # drawer opens everywhere
     assert results["chain_sr"]["2"] == 0.5  # lightbulb chains pass, stack chains fail
     assert results["avg_seq_len"] == 1.5
+
+
+def test_batched_eval_video_capture(params, tmp_path):
+    """num_videos captures the first N chain indices as frame stacks
+    (reference rollout_lh num_videos)."""
+    sequences = [["open_drawer", "turn_on_lightbulb"]] * 4
+    lang = {t: np.zeros(384, np.float32) for t in ALL_TASKS}
+    evaluate_policy_batched(
+        CFG, params, scripted_env_factory,
+        num_envs=2, ep_len=14, sequences=sequences, lang_embeddings=lang,
+        num_videos=2, video_dir=tmp_path,
+    )
+    assert (tmp_path / "chain_0000.npz").exists()
+    assert (tmp_path / "chain_0001.npz").exists()
+    assert not (tmp_path / "chain_0002.npz").exists()
+    frames = np.load(tmp_path / "chain_0000.npz")["frames"]
+    assert frames.ndim == 4 and frames.shape[-1] == 3 and frames.shape[0] > 1
+
+
+def test_lh_callback_batched_reuses_policy(params, tmp_path):
+    """The LH rollout callback (batched mode) builds the compiled policy once
+    and swaps params across epochs — no per-epoch re-jit (VERDICT r2 #2)."""
+    import types
+
+    from hulc_tpu.evaluation.rollout_callback import RolloutLongHorizonCallback
+    from hulc_tpu.training.trainer import MetricLogger, TrainerConfig
+
+    emb = {t: np.zeros(384, np.float32) for t in ("open_drawer", "turn_on_lightbulb")}
+    cb = RolloutLongHorizonCallback(
+        env_factory=scripted_env_factory, num_sequences=4, ep_len=14,
+        skip_epochs=0, lang_embeddings=emb, num_envs=2, num_videos=1,
+    )
+    trainer = types.SimpleNamespace(
+        cfg=CFG, logger=MetricLogger(tmp_path), tcfg=TrainerConfig(run_dir=str(tmp_path))
+    )
+    state = types.SimpleNamespace(params=params, step=0)
+    m0 = cb.on_epoch_end(trainer, state, epoch=0)
+    assert "eval_lh/avg_seq_len" in m0 and "eval_lh/chain_sr_1" in m0
+    assert 0.0 <= m0["eval_lh/avg_seq_len"] <= 2.0
+    policy0 = cb._batched_policy
+    assert policy0 is not None
+    envs0 = cb._envs
+    cb.on_epoch_end(trainer, state, epoch=1)
+    assert cb._batched_policy is policy0  # same compiled policy object
+    assert cb._envs is envs0  # env pool persists too
+    assert (tmp_path / "rollout_videos" / "epoch_0" / "chain_0000.npz").exists()
+    assert (tmp_path / "rollout_videos" / "epoch_1" / "chain_0000.npz").exists()
+
+
+def test_lh_callback_feeds_lh_sr_checkpoint_selection(params, tmp_path):
+    """eval_lh/avg_seq_len from the batched callback drives the lh_sr
+    checkpoint preset: best checkpoint = epoch with the longest chains."""
+    import types
+
+    from hulc_tpu.evaluation.rollout_callback import RolloutLongHorizonCallback
+    from hulc_tpu.training import checkpoint as ckpt
+    from hulc_tpu.training.trainer import MetricLogger, TrainerConfig
+
+    emb = {t: np.zeros(384, np.float32) for t in ("open_drawer", "turn_on_lightbulb")}
+    cb = RolloutLongHorizonCallback(
+        env_factory=scripted_env_factory, num_sequences=2, ep_len=14,
+        skip_epochs=0, lang_embeddings=emb, num_envs=2,
+    )
+    trainer = types.SimpleNamespace(
+        cfg=CFG, logger=MetricLogger(tmp_path), tcfg=TrainerConfig(run_dir=str(tmp_path))
+    )
+    state = types.SimpleNamespace(params=params, step=0)
+    mgr = ckpt.MonitoredCheckpointer(tmp_path / "run", "lh_sr")
+    # epoch 0: real rollout metrics; epoch 1: degraded (simulated) metrics
+    metrics0 = cb.on_epoch_end(trainer, state, epoch=0)
+    mgr.save(0, {"params": {"w": np.zeros(1)}, "step": 0}, metrics0)
+    mgr.save(1, {"params": {"w": np.ones(1)}, "step": 1},
+             {"eval_lh/avg_seq_len": metrics0["eval_lh/avg_seq_len"] - 1.0})
+    best = ckpt.best_checkpoint(tmp_path / "run", ckpt.resolve_checkpoint_policy("lh_sr"))
+    assert ckpt.checkpoint_epoch(best) == 0
