@@ -1,6 +1,8 @@
 """Trainer: jitted sharded train step, checkpoint resume, schedules, and the
 8-virtual-device data-parallel mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -205,3 +207,19 @@ def test_echo_factor_steps(fixture_root, tmp_path):
     loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
     state = trainer.fit(loader, None, max_epochs=1, max_steps=6, resume=False)
     assert int(state.step) == 6  # 2 host batches x 3 echoes
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HULC_RUN_SLOW"),
+    reason="2-process DCN dryrun spawns 3 subprocesses (~3 min); HULC_RUN_SLOW=1 to run",
+)
+def test_dryrun_multihost_two_process():
+    """The process_count() > 1 branch of shard_batch_tree actually executes:
+    2 local processes x 4 virtual CPU devices, gloo collectives, loss equal
+    to the single-process 8-device run (VERDICT r2 #5)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multihost
+
+    dryrun_multihost(2)  # raises on divergence
