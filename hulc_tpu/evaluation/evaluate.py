@@ -132,9 +132,22 @@ def main(argv=None):
         env, oracle = _load_env_factory(args.env_factory)()
     else:
         env = fake_env_for(cfg)
+        calibration = args.oracle_calibration
+        if calibration is None:
+            # calibration-by-default: use oracle_regions.json when one exists
+            # next to the run or dataset (calibrate_oracle writes it there)
+            candidates = [run_dir / "oracle_regions.json"]
+            if args.dataset_dir:
+                candidates += [
+                    pathlib.Path(args.dataset_dir) / "validation" / "oracle_regions.json",
+                    pathlib.Path(args.dataset_dir) / "oracle_regions.json",
+                ]
+            calibration = next((c for c in candidates if c.exists()), None)
+            if calibration is not None:
+                print(f"[eval] using oracle calibration {calibration}")
         oracle = (
-            SceneObsTasks.from_calibration(args.oracle_calibration)
-            if args.oracle_calibration
+            SceneObsTasks.from_calibration(calibration)
+            if calibration
             else SceneObsTasks()
         )
 
