@@ -158,16 +158,24 @@ class EpisodeStore:
         return {k: np.stack([f[k] for f in frames]) for k in self.keys}
 
     def gather_padded(
-        self, key: str, starts: Sequence[int], lengths: Sequence[int], max_window: int
+        self,
+        key: str,
+        starts: Sequence[int],
+        lengths: Sequence[int],
+        max_window: int,
+        n_threads: int = 1,
     ) -> np.ndarray:
         """Batched padded windows; C++ memcpy fast path when shm-cached.
 
         Pads by repeating the last frame (rel_actions tail-zeroing is the
-        caller's responsibility, see loader._assemble).
+        caller's responsibility, see loader._assemble). n_threads only
+        affects the shm path (C++ std::thread batch split).
         """
         rel = np.asarray(starts, np.int64) - self._cache_offset
         if self.shm is not None:
-            return self.shm.gather_windows(key, rel, np.asarray(lengths, np.int64), max_window)
+            return self.shm.gather_windows(
+                key, rel, np.asarray(lengths, np.int64), max_window, n_threads
+            )
         out = None
         for i, (start, length) in enumerate(zip(starts, lengths)):
             w = self.get_window(int(start), int(length))[key]

@@ -45,6 +45,7 @@ class ModalityLoader:
         relative_actions: bool = True,
         modality: str = "vis",
         seed: int = 0,
+        gather_threads: int = 1,
     ):
         self.store = store
         self.sampler = sampler
@@ -54,6 +55,7 @@ class ModalityLoader:
         self.modality = modality
         self.max_window = sampler.max_window
         self.rng = np.random.default_rng(seed)
+        self.gather_threads = gather_threads
 
     def __len__(self) -> int:
         return max(1, len(self.sampler) // self.batch_size)
@@ -64,7 +66,9 @@ class ModalityLoader:
         lengths = [s.length for s in samples]
 
         def stack(key):
-            out = self.store.gather_padded(key, starts, lengths, self.max_window)
+            out = self.store.gather_padded(
+                key, starts, lengths, self.max_window, n_threads=self.gather_threads
+            )
             if key == "rel_actions":
                 # pad semantics for relative actions: zero motion, keep the
                 # repeated gripper command (pad_window equivalence)
@@ -108,8 +112,13 @@ class ModalityLoader:
             depth_gripper=stack("depth_gripper") if "depth_gripper" in self.store.keys else None,
         )
 
+    def draw(self) -> list:
+        """Draw one batch worth of window samples (cheap; NOT thread-safe —
+        callers with multiple assembly workers serialize draws with a lock)."""
+        return [self.sampler.sample() for _ in range(self.batch_size)]
+
     def next_batch(self) -> ModalityBatch:
-        return self._assemble([self.sampler.sample() for _ in range(self.batch_size)])
+        return self._assemble(self.draw())
 
     def deterministic_batch(self, step: int) -> ModalityBatch:
         """Sequential (wrap-around) batch for validation."""
@@ -127,11 +136,22 @@ class CombinedLoader:
     """
 
     def __init__(
-        self, loaders: Dict[str, ModalityLoader], prefetch: int = 2, deterministic: bool = False
+        self,
+        loaders: Dict[str, ModalityLoader],
+        prefetch: int = 2,
+        deterministic: bool = False,
+        num_workers: int = 1,
     ):
         self.loaders = loaders
         self.prefetch = prefetch
         self.deterministic = deterministic
+        # parallel batch-assembly workers (reference multi-worker dataloaders,
+        # conf/datamodule/datasets/vision_dataset/vision.yaml num_workers).
+        # Sampling stays serialized under a lock (np rngs aren't thread-safe);
+        # the heavy gather/normalize work runs GIL-released in numpy/C++.
+        # Deterministic (validation) iteration always uses one worker so the
+        # batch order is reproducible.
+        self.num_workers = max(1, num_workers)
         self._step = 0
 
     def __len__(self) -> int:
@@ -147,9 +167,12 @@ class CombinedLoader:
     def __iter__(self) -> Iterator[Dict[str, ModalityBatch]]:
         if self.deterministic:
             self._step = 0  # every epoch evaluates the same slice
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        n_workers = 1 if self.deterministic else self.num_workers
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, n_workers))
         stop = threading.Event()
         steps = len(self)
+        draw_lock = threading.Lock()
+        remaining = [steps]
 
         def put_bounded(item) -> bool:
             # bounded put so an early-terminated consumer (validate()
@@ -162,18 +185,41 @@ class CombinedLoader:
                     continue
             return False
 
+        def draw_all():
+            # serialize claiming a step + rng sampling; assembly runs outside
+            with draw_lock:
+                if remaining[0] <= 0:
+                    return None
+                remaining[0] -= 1
+                if self.deterministic:
+                    out = ("det", self._step)
+                    self._step += 1
+                    return out
+                return ("samples", {k: l.draw() for k, l in self.loaders.items()})
+
         def worker():
             try:
-                for _ in range(steps):
-                    if stop.is_set():
+                while not stop.is_set():
+                    drawn = draw_all()
+                    if drawn is None:
                         return
-                    if not put_bounded(self._make()):
+                    kind, payload = drawn
+                    if kind == "det":
+                        batch = {
+                            k: l.deterministic_batch(payload) for k, l in self.loaders.items()
+                        }
+                    else:
+                        batch = {
+                            k: self.loaders[k]._assemble(s) for k, s in payload.items()
+                        }
+                    if not put_bounded(batch):
                         return
             except BaseException as exc:  # surface I/O errors to the consumer
                 put_bounded(exc)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(n_workers)]
+        for t in threads:
+            t.start()
         try:
             for _ in range(steps):
                 item = q.get()
@@ -182,7 +228,8 @@ class CombinedLoader:
                 yield item
         finally:
             stop.set()
-            t.join(timeout=5.0)
+            for t in threads:
+                t.join(timeout=5.0)
 
 
 def make_loaders(
@@ -200,11 +247,16 @@ def make_loaders(
     with_depth: bool = False,
     deterministic: bool = False,
     modalities: Tuple[str, ...] = ("vis", "lang"),
+    num_workers: int = 1,
+    gather_threads: int = 1,
 ) -> CombinedLoader:
     """Build the (possibly single-) modality loader for one split.
 
     modalities: ("vis", "lang") default; ("vis",) / ("lang",) mirror the
-    reference's vision_only / lang_only dataset configs.
+    reference's vision_only / lang_only dataset configs. num_workers
+    parallelizes whole-batch assembly across Python threads (heavy work is
+    GIL-released numpy/C++); gather_threads additionally splits each shm
+    C++ gather across std::threads.
     """
     import pathlib
 
@@ -222,7 +274,8 @@ def make_loaders(
     if "vis" in modalities:
         vis_sampler = VisionWindowSampler(store.episode_ranges, min_window, max_window, seed=seed)
         loaders["vis"] = ModalityLoader(
-            store, vis_sampler, cfg, batch_size, relative_actions, "vis", seed + 2
+            store, vis_sampler, cfg, batch_size, relative_actions, "vis", seed + 2,
+            gather_threads=gather_threads,
         )
     if "lang" in modalities:
         lang_sampler = LangWindowSampler(
@@ -234,8 +287,9 @@ def make_loaders(
             seed=seed + 1,
         )
         loaders["lang"] = ModalityLoader(
-            store, lang_sampler, cfg, batch_size, relative_actions, "lang", seed + 3
+            store, lang_sampler, cfg, batch_size, relative_actions, "lang", seed + 3,
+            gather_threads=gather_threads,
         )
     if not loaders:
         raise ValueError(f"no modalities selected from {modalities!r}")
-    return CombinedLoader(loaders, deterministic=deterministic)
+    return CombinedLoader(loaders, deterministic=deterministic, num_workers=num_workers)

@@ -55,6 +55,13 @@ class _Lib:
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
             ]
+            lib.hulc_shm_gather_windows_mt.restype = ctypes.c_int
+            lib.hulc_shm_gather_windows_mt.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+                ctypes.c_uint64,
+            ]
             cls._instance = lib
         return cls._instance
 
@@ -188,19 +195,30 @@ class ShmEpisodeCache:
         return np.frombuffer(buf, dtype=dtype).reshape((n,) + tuple(shape))
 
     def gather_windows(
-        self, key: str, starts: Sequence[int], lengths: Sequence[int], max_window: int
+        self,
+        key: str,
+        starts: Sequence[int],
+        lengths: Sequence[int],
+        max_window: int,
+        n_threads: int = 1,
     ) -> np.ndarray:
-        """Padded (B, max_window, ...) batch via the C++ memcpy path."""
+        """Padded (B, max_window, ...) batch via the C++ memcpy path.
+
+        n_threads > 1 splits the batch dim over C++ std::threads (ctypes
+        releases the GIL for the call, so this is real host parallelism on
+        multi-core machines; on a 1-core host it is a wash).
+        """
         shape, dtype = self.key_meta[key]
         b = len(starts)
         out = np.empty((b, max_window) + tuple(shape), dtype)
         starts_a = np.ascontiguousarray(starts, np.int64)
         lengths_a = np.ascontiguousarray(lengths, np.int64)
-        rc = self._lib.hulc_shm_gather_windows(
+        rc = self._lib.hulc_shm_gather_windows_mt(
             self._handle, key.encode(),
             starts_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             lengths_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             b, max_window, out.ctypes.data_as(ctypes.c_void_p),
+            max(1, int(n_threads)),
         )
         if rc != 0:
             raise ValueError(f"gather_windows failed (rc={rc})")

@@ -19,7 +19,7 @@ def build(force: bool = False) -> pathlib.Path:
         if LIB_PATH.stat().st_mtime >= SRC_PATH.stat().st_mtime:
             return LIB_PATH
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         str(SRC_PATH), "-o", str(LIB_PATH), "-lrt",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -23,6 +23,8 @@
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <thread>
+#include <vector>
 #include <unistd.h>
 
 namespace {
@@ -182,16 +184,15 @@ void* hulc_shm_key_ptr(void* handle, const char* key, uint64_t* frame_bytes_out)
 // Gather B windows of a key into out (B, max_window, frame_bytes), padding
 // short windows by repeating the final frame (calvin pad=True semantics for
 // observations; relative-action zeroing is handled in Python).
-int hulc_shm_gather_windows(void* handle, const char* key, const int64_t* starts,
-                            const int64_t* lengths, uint64_t batch,
-                            uint64_t max_window, uint8_t* out) {
-  Arena* a = (Arena*)handle;
-  Header* h = (Header*)a->base;
-  const KeyDesc* k = find_key(h, key);
-  if (!k) return -1;
+namespace {
+
+// Copy windows [b_lo, b_hi) of one key. Returns 0 or -2 on a bad window.
+int gather_range(const Header* h, const KeyDesc* k, const uint8_t* data,
+                 const int64_t* starts, const int64_t* lengths,
+                 uint64_t max_window, uint8_t* out, uint64_t b_lo,
+                 uint64_t b_hi) {
   const uint64_t fb = k->frame_bytes;
-  const uint8_t* data = a->base + k->offset;
-  for (uint64_t b = 0; b < batch; ++b) {
+  for (uint64_t b = b_lo; b < b_hi; ++b) {
     const int64_t start = starts[b];
     const int64_t len = lengths[b];
     if (start < 0 || (uint64_t)(start + len) > h->n_frames || len <= 0) return -2;
@@ -204,6 +205,54 @@ int hulc_shm_gather_windows(void* handle, const char* key, const int64_t* starts
       std::memcpy(dst + t * fb, last, fb);
     }
   }
+  return 0;
+}
+
+}  // namespace
+
+int hulc_shm_gather_windows(void* handle, const char* key, const int64_t* starts,
+                            const int64_t* lengths, uint64_t batch,
+                            uint64_t max_window, uint8_t* out) {
+  Arena* a = (Arena*)handle;
+  Header* h = (Header*)a->base;
+  const KeyDesc* k = find_key(h, key);
+  if (!k) return -1;
+  return gather_range(h, k, a->base + k->offset, starts, lengths, max_window,
+                      out, 0, batch);
+}
+
+// Threaded gather: the batch dim is split across n_threads std::threads.
+// ctypes callers release the GIL for the duration, so this is real host
+// parallelism (the single-thread gather is memcpy-bound at ~1 GB/s/core;
+// multi-core production hosts scale it with n_threads).
+int hulc_shm_gather_windows_mt(void* handle, const char* key,
+                               const int64_t* starts, const int64_t* lengths,
+                               uint64_t batch, uint64_t max_window,
+                               uint8_t* out, uint64_t n_threads) {
+  Arena* a = (Arena*)handle;
+  Header* h = (Header*)a->base;
+  const KeyDesc* k = find_key(h, key);
+  if (!k) return -1;
+  const uint8_t* data = a->base + k->offset;
+  if (n_threads <= 1 || batch <= 1) {
+    return gather_range(h, k, data, starts, lengths, max_window, out, 0, batch);
+  }
+  if (n_threads > batch) n_threads = batch;
+  std::vector<int> rcs(n_threads, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  const uint64_t per = (batch + n_threads - 1) / n_threads;
+  for (uint64_t t = 0; t < n_threads; ++t) {
+    const uint64_t lo = t * per;
+    const uint64_t hi = lo + per < batch ? lo + per : batch;
+    if (lo >= hi) break;
+    threads.emplace_back([=, &rcs] {
+      rcs[t] = gather_range(h, k, data, starts, lengths, max_window, out, lo, hi);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int rc : rcs)
+    if (rc != 0) return rc;
   return 0;
 }
 

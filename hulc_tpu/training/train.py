@@ -35,6 +35,14 @@ def main(argv=None):
     p.add_argument("--kl-schedule", default="constant", choices=["constant", "linear", "sigmoid"])
     p.add_argument("--cache", default="ram", choices=["ram", "none", "shm"])
     p.add_argument(
+        "--loader-workers", type=int, default=1,
+        help="parallel batch-assembly threads (reference num_workers)",
+    )
+    p.add_argument(
+        "--gather-threads", type=int, default=1,
+        help="C++ threads per shm window gather (multi-core hosts)",
+    )
+    p.add_argument(
         "--checkpoint-policy", default="all",
         help="checkpoint retention preset (all|val_action|lh_sr|task_sr|kl|"
         "clip_loss|state_recon — reference conf/callbacks/checkpoint/*.yaml)",
@@ -113,7 +121,8 @@ def main(argv=None):
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(
-        cfg, root, "training", args.batch_size, min_w, max_w, cache=args.cache, seed=args.seed
+        cfg, root, "training", args.batch_size, min_w, max_w, cache=args.cache,
+        seed=args.seed, num_workers=args.loader_workers, gather_threads=args.gather_threads,
     )
     try:
         val_loader = make_loaders(

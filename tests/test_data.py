@@ -208,3 +208,22 @@ def test_auto_annotation_pipeline(tmp_path):
     assert len(sampler) > 0
     s = sampler.sample()
     assert s.lang_idx >= 0
+
+
+def test_combined_loader_multiworker(fixture_root):
+    """num_workers > 1 yields exactly len(loader) schema-correct batches
+    (order may differ; sampling is serialized, assembly is parallel)."""
+    cfg = get_config("gcbc_debug")
+    loader = make_loaders(
+        cfg, fixture_root, batch_size=2, min_window=8, max_window=8,
+        cache="none", num_workers=3,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    for b in batches:
+        assert set(b) == {"vis", "lang"}
+        assert b["vis"].rgb_static.shape[0] == 2
+        assert b["vis"].rgb_static.dtype == np.uint8
+        assert b["lang"].lang is not None
+    # a second epoch works (threads respawn cleanly)
+    assert len(list(loader)) == len(loader)

@@ -79,3 +79,24 @@ def test_gather_bounds_check(arena):
     name, cache = arena
     with pytest.raises(ValueError):
         cache.gather_windows("actions", starts=[60], lengths=[10], max_window=10)
+
+
+def test_gather_windows_mt_matches_single(arena):
+    """The threaded C++ gather is bit-identical to the single-thread path
+    for every thread count (including n_threads > batch)."""
+    name, cache = arena
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (64, 8, 8, 3), np.uint8)
+    cache.write("rgb", 0, rgb)
+    starts = [0, 5, 20, 33, 50, 58, 2, 13, 41]
+    lengths = [4, 8, 3, 6, 8, 6, 1, 8, 2]
+    ref = cache.gather_windows("rgb", starts, lengths, max_window=8, n_threads=1)
+    for nt in (2, 3, 4, 16):
+        out = cache.gather_windows("rgb", starts, lengths, max_window=8, n_threads=nt)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_gather_windows_mt_bounds_check(arena):
+    name, cache = arena
+    with pytest.raises(ValueError):
+        cache.gather_windows("actions", [60], [8], max_window=8, n_threads=4)
