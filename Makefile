@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun native eval-smoke profile annotate-smoke
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -18,8 +18,14 @@ dryrun:          ## multi-chip sharding dryrun on 8 virtual CPU devices
 	    import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
 	    from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
 
+dryrun-multihost: ## 2-process DCN dryrun (disjoint batch halves, loss parity)
+	$(PY) -c "from __graft_entry__ import dryrun_multihost; dryrun_multihost(2)"
+
 native:          ## (re)build the C++ shared-memory cache
 	$(PY) -m hulc_tpu.native.build
+
+shm-scale:       ## populate + gather an 8 GB /dev/shm arena (integrity checked)
+	$(PY) scripts/shm_scale_test.py --gb 8
 
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \
