@@ -57,6 +57,53 @@ class ResNet18Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 512)
 
 
+def convert_torchvision_resnet18(state_dict) -> dict:
+    """torchvision resnet18 state_dict -> params for :class:`ResNet18Features`.
+
+    Accepts tensors or numpy arrays. The classifier head (``fc.*``) is
+    dropped — the reference removes it too (tactile_encoder.py builds the
+    backbone with the fc replaced). Conv kernels transpose OIHW -> HWIO;
+    batch-norm running stats land in FrozenBatchNorm's mean/var params.
+
+    Returns the param dict for the ``backbone`` module scope; graft with
+    ``params["backbone"] = convert_torchvision_resnet18(sd)`` on an
+    initialized TactileEncoder param tree.
+    """
+    import numpy as np
+
+    def np_(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    sd = {k: np_(v) for k, v in state_dict.items()}
+
+    def conv(prefix):
+        return {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(prefix):
+        return {
+            "scale": sd[prefix + ".weight"],
+            "bias": sd[prefix + ".bias"],
+            "mean": sd[prefix + ".running_mean"],
+            "var": sd[prefix + ".running_var"],
+        }
+
+    out = {"conv1": conv("conv1"), "bn1": bn("bn1")}
+    for li in range(1, 5):
+        for bi in range(2):
+            t = f"layer{li}.{bi}"
+            block = {
+                "conv1": conv(t + ".conv1"),
+                "bn1": bn(t + ".bn1"),
+                "conv2": conv(t + ".conv2"),
+                "bn2": bn(t + ".bn2"),
+            }
+            if t + ".downsample.0.weight" in sd:
+                block["downsample_conv"] = conv(t + ".downsample.0")
+                block["downsample_bn"] = bn(t + ".downsample.1")
+            out[f"layer{li}_{bi}"] = block
+    return out
+
+
 class TactileEncoder(nn.Module):
     """Frozen ResNet18 applied to left (ch 0:3) and right (ch 3:6) tactile
     frames with SHARED weights, features concatenated -> FC head

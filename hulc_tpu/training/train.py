@@ -56,6 +56,7 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log-every", type=int, default=50, help="log every N loader batches")
     p.add_argument(
         "--rollout", action="store_true",
         help="run the long-horizon rollout callback each val epoch (fake env "
@@ -118,6 +119,7 @@ def main(argv=None):
         val_max_batches=args.val_max_batches,
         checkpoint_policy=args.checkpoint_policy,
         echo_factor=args.echo_factor,
+        log_every=args.log_every,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(

@@ -1,0 +1,134 @@
+"""Pretrained-weight conversion: offline schema checks + guarded parity
+tests that activate when the real assets are present (VERDICT r2 #10).
+
+Offline (always run): the converters consume exactly the reference key
+schema and emit trees structurally identical to our module init.
+
+Guarded (skip here, activate where assets exist):
+  * torchvision importable     -> numerical parity of ResNet18Features vs
+                                  torchvision.models.resnet18 (any weights)
+  * HULC_CLIP_CKPT=<path .pt>  -> convert a real OpenAI CLIP checkpoint and
+                                  compare against the reference vendored
+                                  CLIP implementation (/root/reference)
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hulc_tpu.models.tactile import (
+    ResNet18Features,
+    TactileEncoder,
+    convert_torchvision_resnet18,
+)
+
+
+def synthetic_resnet18_state_dict(rng):
+    """torchvision-schema resnet18 state_dict with correct shapes."""
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = rng.normal(size=(cout, cin, k, k)).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".num_batches_tracked"] = np.asarray(0)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    planes = [64, 128, 256, 512]
+    cin = 64
+    for li, p in enumerate(planes, start=1):
+        for bi in range(2):
+            t = f"layer{li}.{bi}"
+            conv(t + ".conv1", p, cin if bi == 0 else p, 3)
+            bn(t + ".bn1", p)
+            conv(t + ".conv2", p, p, 3)
+            bn(t + ".bn2", p)
+            if bi == 0 and (p != cin):
+                conv(t + ".downsample.0", p, cin, 1)
+                bn(t + ".downsample.1", p)
+        cin = p
+    sd["fc.weight"] = rng.normal(size=(1000, 512)).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def test_tactile_converter_matches_init_schema():
+    """Converted tree is structurally identical to the flax init (every leaf
+    name + shape), so a real torchvision checkpoint grafts cleanly."""
+    sd = synthetic_resnet18_state_dict(np.random.default_rng(0))
+    converted = convert_torchvision_resnet18(sd)
+
+    model = ResNet18Features()
+    init = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    flat_init = {"/".join(map(str, p)): l.shape for p, l in jax.tree_util.tree_flatten_with_path(init)[0]}
+    flat_conv = {"/".join(map(str, p)): l.shape for p, l in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert flat_init == flat_conv
+
+    # grafting into the full encoder leaves the trainable head intact
+    enc = TactileEncoder()
+    params = enc.init(jax.random.key(0), jnp.zeros((1, 64, 64, 6)))["params"]
+    params = dict(params)
+    params["backbone"] = converted
+    out = enc.apply({"params": params}, jnp.ones((2, 64, 64, 6)))
+    assert out.shape == (2, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_tactile_torchvision_parity():
+    """Numerical parity vs real torchvision resnet18 (runs where torchvision
+    is installed; this container has none — PARITY.md marks the conversion
+    as unverified-against-real-weights until this passes somewhere)."""
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    model = torchvision.models.resnet18(weights=None).eval()
+    converted = convert_torchvision_resnet18(model.state_dict())
+    x = np.random.default_rng(0).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats = torch.nn.Sequential(*list(model.children())[:-1])(torch.from_numpy(x))
+    ref = feats.squeeze(-1).squeeze(-1).numpy()
+    ours = ResNet18Features().apply({"params": converted}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HULC_CLIP_CKPT"),
+    reason="set HULC_CLIP_CKPT=<path to a real OpenAI CLIP .pt> to verify the "
+    "conversion against real pretrained weights (no network in this container)",
+)
+def test_clip_convert_real_checkpoint():
+    """Convert a real OpenAI CLIP checkpoint and compare our encoders against
+    the reference's vendored CLIP implementation on the same weights."""
+    import torch
+
+    from hulc_tpu.models.clip import convert_openai_clip, make_image_encoder
+    from tests.conftest import load_reference_module
+
+    path = os.environ["HULC_CLIP_CKPT"]
+    try:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+    sd = {k: v.float() for k, v in sd.items()}
+    model_name = "ViT-B/32" if "visual.proj" in sd else "RN50"
+    params = convert_openai_clip(sd, model_name=model_name)
+
+    ref_clip = load_reference_module(
+        "hulc/models/perceptual_encoders/clip.py", "ref_clip_real"
+    )
+    ref_model = ref_clip.build_model(sd).float().eval()
+    x = np.random.default_rng(0).uniform(size=(2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref_model.encode_image(torch.from_numpy(x)).numpy()
+    module = make_image_encoder(model_name)
+    conv_tree = jax.tree_util.tree_map(jnp.asarray, params["visual"])
+    ours = module.apply({"params": conv_tree}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref_img, rtol=1e-3, atol=1e-3)
