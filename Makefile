@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -26,6 +26,12 @@ native:          ## (re)build the C++ shared-memory cache
 
 shm-scale:       ## populate + gather an 8 GB /dev/shm arena (integrity checked)
 	$(PY) scripts/shm_scale_test.py --gb 8
+
+converge:        ## train->select->eval->plot on the real chip, loss asserts
+	$(PY) scripts/converge.py
+
+echo-quality:    ## data-echoing quality cost table (echo 1/4/16, same steps)
+	$(PY) scripts/echo_quality.py
 
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \

@@ -61,6 +61,58 @@ def _frame(rng: np.random.Generator, small: bool = False):
     }
 
 
+def _render(pos3, h: int) -> np.ndarray:
+    """Deterministic image of a 3-vector in [-1, 1]^3: an 8x8 bright marker
+    at the (x, y)-proportional pixel location, brightness from z — exactly
+    the kind of signal SpatialSoftmax keypoint pooling extracts."""
+    img = np.full((h, h, 3), 30, np.uint8)
+    u = int((np.clip(pos3[0], -1, 1) + 1) / 2 * (h - 9))
+    v = int((np.clip(pos3[1], -1, 1) + 1) / 2 * (h - 9))
+    val = np.uint8(120 + (np.clip(pos3[2], -1, 1) + 1) / 2 * 120)
+    img[v : v + 8, u : u + 8] = val
+    return img
+
+
+def _learnable_episode(rng: np.random.Generator, episode_len: int, small: bool):
+    """Episode whose rel_actions are a smooth, observable function of state:
+    the TCP follows per-axis sinusoids, images render the state, and
+    rel_actions are the CALVIN-convention deltas (pos*50, orn*20) toward the
+    next frame — genuinely learnable behavior cloning (unlike the i.i.d.
+    noise frames of the default fixture, which can only be memorized)."""
+    t = np.arange(episode_len + 1, dtype=np.float64)[:, None]
+    periods = rng.uniform(30, 80, 3)
+    phases = rng.uniform(0, 2 * np.pi, 3)
+    pos = 0.35 * np.sin(2 * np.pi * t / periods + phases)  # (T+1, 3)
+    periods_o = rng.uniform(40, 90, 3)
+    phases_o = rng.uniform(0, 2 * np.pi, 3)
+    orn = 1.0 * np.sin(2 * np.pi * t / periods_o + phases_o)
+    grip = np.sign(np.sin(2 * np.pi * t[:, 0] / rng.uniform(30, 50) + rng.uniform(0, 2 * np.pi)))
+    grip[grip == 0] = 1.0
+    frames = []
+    for i in range(episode_len):
+        rel = np.concatenate([
+            np.clip((pos[i + 1] - pos[i]) * 50.0, -1, 1),
+            np.clip((orn[i + 1] - orn[i]) * 20.0, -1, 1),
+            [grip[i + 1]],
+        ]).astype(np.float32)
+        robot_obs = np.concatenate(
+            [pos[i], orn[i], [0.04 + 0.03 * grip[i]], np.zeros(7), [grip[i]]]
+        ).astype(np.float32)
+        h = 64 if small else 200
+        g = 48 if small else 84
+        frames.append({
+            "rgb_static": _render(pos[i] / 0.35, h),
+            "rgb_gripper": _render(orn[i], g),
+            "depth_static": np.full((h, h), 1.0 + pos[i, 2], np.float32),
+            "depth_gripper": np.full((g, g), 0.5, np.float32),
+            "actions": rel.copy(),
+            "rel_actions": rel,
+            "robot_obs": robot_obs,
+            "scene_obs": np.tile(pos[i], 8).astype(np.float32),
+        })
+    return frames
+
+
 def write_split(
     split_dir: pathlib.Path,
     num_episodes: int = 2,
@@ -70,6 +122,7 @@ def write_split(
     with_lang: bool = True,
     is_validation: bool = False,
     ann_len: int = 48,
+    learnable: bool = False,
 ) -> None:
     """Write one split (training/ or validation/) of a synthetic dataset."""
     split_dir.mkdir(parents=True, exist_ok=True)
@@ -78,8 +131,10 @@ def write_split(
     frame_idx = 0
     for _ in range(num_episodes):
         start = frame_idx
-        for _ in range(episode_len):
-            np.savez(split_dir / EP_FMT.format(frame_idx), **_frame(rng, small))
+        ep_frames = _learnable_episode(rng, episode_len, small) if learnable else None
+        for j in range(episode_len):
+            frame = ep_frames[j] if ep_frames is not None else _frame(rng, small)
+            np.savez(split_dir / EP_FMT.format(frame_idx), **frame)
             frame_idx += 1
         ranges.append([start, frame_idx - 1])  # inclusive, like CALVIN
     np.save(split_dir / "ep_start_end_ids.npy", np.asarray(ranges, np.int64))
@@ -138,9 +193,16 @@ def make_fixture_dataset(
     episode_len: int = 64,
     small: bool = True,
     seed: int = 0,
+    learnable: bool = False,
 ) -> pathlib.Path:
-    """Create training/ + validation/ splits under root; returns root."""
+    """Create training/ + validation/ splits under root; returns root.
+
+    learnable=True writes smooth-trajectory episodes whose actions are an
+    observable function of the rendered state (convergence-evidence runs);
+    the default writes i.i.d. noise frames (schema/shape tests)."""
     root = pathlib.Path(root)
-    write_split(root / "training", num_episodes, episode_len, seed, small, True, False)
-    write_split(root / "validation", max(1, num_episodes // 2), episode_len, seed + 1, small, True, True)
+    write_split(root / "training", num_episodes, episode_len, seed, small, True, False,
+                learnable=learnable)
+    write_split(root / "validation", max(1, num_episodes // 2), episode_len, seed + 1,
+                small, True, True, learnable=learnable)
     return root

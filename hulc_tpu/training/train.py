@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50, help="log every N loader batches")
     p.add_argument(
+        "--checkpoint-every", type=int, default=1,
+        help="checkpoint every N epochs (a --steps-capped run always saves at the end)",
+    )
+    p.add_argument(
         "--rollout", action="store_true",
         help="run the long-horizon rollout callback each val epoch (fake env "
         "unless --env-factory module:function is given)",
@@ -120,6 +124,7 @@ def main(argv=None):
         checkpoint_policy=args.checkpoint_policy,
         echo_factor=args.echo_factor,
         log_every=args.log_every,
+        checkpoint_every_epochs=args.checkpoint_every,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(

@@ -329,13 +329,18 @@ class Trainer:
                     epoch_metrics.update(
                         {k: v for k, v in cb_metrics.items() if isinstance(v, (int, float))}
                     )
-            if (epoch + 1) % tcfg.checkpoint_every_epochs == 0 or epoch == max_epochs - 1:
+            hit_max_steps = max_steps is not None and total_steps >= max_steps
+            if (
+                (epoch + 1) % tcfg.checkpoint_every_epochs == 0
+                or epoch == max_epochs - 1
+                or hit_max_steps  # a --steps-capped run always ends checkpointed
+            ):
                 self.checkpointer.save(
                     epoch,
                     {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
                     epoch_metrics,
                 )
-            if max_steps is not None and total_steps >= max_steps:
+            if hit_max_steps:
                 break
         return state
 
