@@ -74,6 +74,7 @@ def _fresh_batch_iter(cfg, batch_per_mod, seq_len, n_chips, num_workers=1):
         max_window=seq_len,
         cache="ram",
         num_workers=num_workers,
+        fuse=True,  # loader-side [vis; lang] stacking (fused train pass)
     )
 
     def endless():
@@ -83,19 +84,26 @@ def _fresh_batch_iter(cfg, batch_per_mod, seq_len, n_chips, num_workers=1):
     return loader, endless()
 
 
-def _assembly_rate_mb_s(cfg, batch_per_mod, seq_len, n_chips, num_workers, n_batches=3):
+def _assembly_rate_mb_s(loader, num_workers, n_batches=3):
     """Sustained multi-worker batch-assembly rate through the prefetch
-    pipeline (host-only; the device is idle). On a many-core host this
-    scales with num_workers — the heavy gather/normalize work runs
-    GIL-released; on this 1-core VM it is expectedly flat."""
-    _, it = _fresh_batch_iter(cfg, batch_per_mod, seq_len, n_chips, num_workers)
-    first = next(it)  # warm: first-touch page allocation is erratic on this VM
-    nbytes = _tree_nbytes(first)
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        next(it)
-    dt = time.perf_counter() - t0
-    return nbytes * n_batches / dt / 1e6
+    pipeline (host-only; the device is idle), reusing the already-built
+    loader (a fresh RAM cache per probe cost ~1 min each on this VM). On a
+    many-core host this scales with num_workers — the heavy gather work
+    runs GIL-released; on this 1-core VM it is expectedly flat."""
+    old = loader.num_workers
+    loader.num_workers = num_workers
+    try:
+        n_batches = min(n_batches, len(loader) - 1)
+        it = iter(loader)
+        first = next(it)  # warm: first-touch page allocation is erratic here
+        nbytes = _tree_nbytes(first)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        dt = time.perf_counter() - t0
+        return nbytes * n_batches / dt / 1e6
+    finally:
+        loader.num_workers = old
 
 
 def main():
@@ -122,8 +130,14 @@ def main():
     n_chips = len(trainer.mesh.devices.flat)
 
     # GLOBAL batch scales with the mesh so each chip really processes
-    # 32+32 sequences per step (the sharded batch divides by n_chips)
-    raw = _make_raw_batch(cfg, batch_per_mod * n_chips, seq_len, 200, 84)
+    # 32+32 sequences per step (the sharded batch divides by n_chips).
+    # Fused schema: [vis; lang] rows stacked on the host, one 2B-batch pass
+    # (saves ~1 ms of per-modality op duplication on the device step).
+    from hulc_tpu.data.loader import CombinedLoader
+
+    raw = CombinedLoader.fuse_batch(
+        _make_raw_batch(cfg, batch_per_mod * n_chips, seq_len, 200, 84)
+    )
     # param shapes don't depend on batch/seq size: init on a tiny batch to
     # keep the (uncached) init compile cheap
     tiny = _make_raw_batch(cfg, 2, 8, 200, 84)
@@ -243,8 +257,7 @@ def main():
             # (host-only, device idle). Flat on this 1-core VM; scales on
             # multi-core production hosts (GIL-released numpy/C++ gathers).
             workers_mb_s = {
-                w: round(_assembly_rate_mb_s(cfg, batch_per_mod, seq_len, n_chips, w), 1)
-                for w in (1, 2, 4)
+                w: round(_assembly_rate_mb_s(loader, w), 1) for w in (1, 2, 4)
             }
             # best observed assembly rate: one-shot min-of-3 (pure assembly
             # cost) vs sustained pipeline at the best worker count. On this

@@ -141,6 +141,7 @@ class CombinedLoader:
         prefetch: int = 2,
         deterministic: bool = False,
         num_workers: int = 1,
+        fuse: bool = False,
     ):
         self.loaders = loaders
         self.prefetch = prefetch
@@ -152,17 +153,51 @@ class CombinedLoader:
         # Deterministic (validation) iteration always uses one worker so the
         # batch order is reproducible.
         self.num_workers = max(1, num_workers)
+        # loader-side modality fusion: emit {"fused": 2B-batch} with the
+        # [vis; lang] rows already stacked on the HOST, so the train step's
+        # fused pass needs no in-graph concat (which costs ~1 ms of relayout
+        # copies per camera on TPU — config.py fuse_modalities note). The
+        # lang embedding + aux mask ride on the fused struct (second half).
+        if fuse and set(loaders) != {"vis", "lang"}:
+            raise ValueError("fuse=True needs exactly the vis+lang modalities")
+        self.fuse = fuse
         self._step = 0
 
     def __len__(self) -> int:
         return max(len(l) for l in self.loaders.values())
+
+    @staticmethod
+    def fuse_batch(batch: Dict[str, ModalityBatch]) -> Dict[str, ModalityBatch]:
+        """Host-side [vis; lang] row stacking -> {"fused": 2B ModalityBatch}."""
+        vis, lang = batch["vis"], batch["lang"]
+
+        def cat(f):
+            a, c = getattr(vis, f), getattr(lang, f)
+            return np.concatenate([a, c], axis=0) if a is not None and c is not None else None
+
+        return {
+            "fused": ModalityBatch(
+                rgb_static=cat("rgb_static"),
+                rgb_gripper=cat("rgb_gripper"),
+                robot_obs=cat("robot_obs"),
+                actions=cat("actions"),
+                state_info_robot_obs=cat("state_info_robot_obs"),
+                depth_static=cat("depth_static"),
+                depth_gripper=cat("depth_gripper"),
+                rgb_tactile=cat("rgb_tactile"),
+                lang=lang.lang,
+                use_for_aux_lang_loss=lang.use_for_aux_lang_loss,
+                idx=lang.idx,
+            )
+        }
 
     def _make(self) -> Dict[str, ModalityBatch]:
         if self.deterministic:
             out = {k: l.deterministic_batch(self._step) for k, l in self.loaders.items()}
             self._step += 1
             return out
-        return {k: l.next_batch() for k, l in self.loaders.items()}
+        out = {k: l.next_batch() for k, l in self.loaders.items()}
+        return self.fuse_batch(out) if self.fuse else out
 
     def __iter__(self) -> Iterator[Dict[str, ModalityBatch]]:
         if self.deterministic:
@@ -212,6 +247,8 @@ class CombinedLoader:
                         batch = {
                             k: self.loaders[k]._assemble(s) for k, s in payload.items()
                         }
+                        if self.fuse:
+                            batch = self.fuse_batch(batch)
                     if not put_bounded(batch):
                         return
             except BaseException as exc:  # surface I/O errors to the consumer
@@ -249,6 +286,7 @@ def make_loaders(
     modalities: Tuple[str, ...] = ("vis", "lang"),
     num_workers: int = 1,
     gather_threads: int = 1,
+    fuse: bool = False,
 ) -> CombinedLoader:
     """Build the (possibly single-) modality loader for one split.
 
@@ -292,4 +330,9 @@ def make_loaders(
         )
     if not loaders:
         raise ValueError(f"no modalities selected from {modalities!r}")
-    return CombinedLoader(loaders, deterministic=deterministic, num_workers=num_workers)
+    # val stays per-modality (val_metrics); single-modality runs (vis_only /
+    # lang_only configs) have nothing to fuse — quietly fall back
+    fuse = fuse and not deterministic and set(loaders) == {"vis", "lang"}
+    return CombinedLoader(
+        loaders, deterministic=deterministic, num_workers=num_workers, fuse=fuse
+    )

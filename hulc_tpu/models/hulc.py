@@ -306,31 +306,48 @@ class HulcModel(nn.Module):
         batch: Dict[str, ModalityBatch],
         kl_beta: float,
     ) -> Dict[str, Array]:
-        """One 2B-batch pass over [vis; lang] (see train_losses docstring)."""
+        """One 2B-batch pass over [vis; lang] (see train_losses docstring).
+
+        Two input schemas:
+          * {"vis": B-batch, "lang": B-batch} — the halves are concatenated
+            IN-GRAPH (costs relayout copies on TPU; see config.py).
+          * {"fused": 2B-batch} — the LOADER already stacked [vis; lang]
+            rows on the host (CombinedLoader fuse=True); no in-graph concat.
+            ``lang``/``use_for_aux_lang_loss`` ride on the fused struct and
+            cover the second half.
+        """
         cfg = self.cfg
-        vis, lang = batch["vis"], batch["lang"]
-        b = vis.actions.shape[0]
+        if "fused" in batch:
+            fused = batch["fused"]
+            b = fused.actions.shape[0] // 2
+            lang_emb = fused.lang
+            aux_mask = fused.use_for_aux_lang_loss
+        else:
+            vis, lang = batch["vis"], batch["lang"]
+            b = vis.actions.shape[0]
+            lang_emb = lang.lang
+            aux_mask = lang.use_for_aux_lang_loss
 
-        def cat(f):
-            a, c = getattr(vis, f), getattr(lang, f)
-            return jnp.concatenate([a, c], axis=0) if a is not None and c is not None else None
+            def cat(f):
+                a, c = getattr(vis, f), getattr(lang, f)
+                return jnp.concatenate([a, c], axis=0) if a is not None and c is not None else None
 
-        fused = ModalityBatch(
-            rgb_static=cat("rgb_static"),
-            rgb_gripper=cat("rgb_gripper"),
-            robot_obs=cat("robot_obs"),
-            actions=cat("actions"),
-            state_info_robot_obs=cat("state_info_robot_obs"),
-            depth_static=cat("depth_static"),
-            depth_gripper=cat("depth_gripper"),
-            rgb_tactile=cat("rgb_tactile"),
-        )
+            fused = ModalityBatch(
+                rgb_static=cat("rgb_static"),
+                rgb_gripper=cat("rgb_gripper"),
+                robot_obs=cat("robot_obs"),
+                actions=cat("actions"),
+                state_info_robot_obs=cat("state_info_robot_obs"),
+                depth_static=cat("depth_static"),
+                depth_gripper=cat("depth_gripper"),
+                rgb_tactile=cat("rgb_tactile"),
+            )
         rng, k_plan = jax.random.split(rng)
         perceptual_emb, visual_emb = self.encode(fused, deterministic=False)
         latent_goal = jnp.concatenate(
             [
                 self.encode_visual_goal(perceptual_emb[:b, -1], deterministic=False),
-                self.encode_language_goal(lang.lang, deterministic=False),
+                self.encode_language_goal(lang_emb, deterministic=False),
             ],
             axis=0,
         )
@@ -381,9 +398,9 @@ class HulcModel(nn.Module):
                 pr_state, pp_state, cfg.loss.kl_balancing_mix, per_sample=True
             )
 
-        mask = lang.use_for_aux_lang_loss
+        mask = aux_mask
         if cfg.use_bc_z_auxiliary_loss:
-            totals["lang_pred_loss"] = self.bc_z_loss(seq_feat[b:], lang.lang, mask)
+            totals["lang_pred_loss"] = self.bc_z_loss(seq_feat[b:], lang_emb, mask)
         if cfg.use_clip_auxiliary_loss:
             totals["lang_clip_loss"] = self.clip_loss(seq_feat[b:], latent_goal[b:], mask)
         if cfg.use_mia_auxiliary_loss:
@@ -433,6 +450,8 @@ class HulcModel(nn.Module):
         copies than the fused pass saves (see config.py).
         """
         cfg = self.cfg
+        if "fused" in batch:  # loader-side fused schema: always the fused pass
+            return self._fused_train_losses(rng, batch, kl_beta)
         if (
             cfg.fuse_modalities
             and set(batch) == {"vis", "lang"}

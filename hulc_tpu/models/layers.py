@@ -22,12 +22,42 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+@jax.custom_vjp
+def relu(x: Array) -> Array:
+    """relu whose VJP recomputes the pass-through mask from the saved OUTPUT.
+
+    jax.nn.relu materializes u32 masks in the backward; jnp.maximum(x, 0) is
+    subtler but still costly: its JVP needs eq/gt predicates for gradient
+    tie-splitting at x == 0, and XLA packs TWO u32 bitmask planes per
+    activation into the forward fusions (~1.4 ms/step at the bench batch —
+    diagnosed round 3 from the convert_reduce_fusion ops). This custom VJP
+    saves only y (which the next layer stores anyway — XLA dedups) and
+    computes ``g * (y > 0)`` in the backward: no forward-side mask
+    materialization, and the x == 0 subgradient is 0 — exactly torch's
+    relu'(0) = 0, unlike maximum's 0.5 split.
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    # barrier: without it XLA hoists this compare into the FORWARD conv
+    # fusion and bit-packs a u32 mask plane per activation (measured ~0.1 ms
+    # per conv pair); behind the barrier the compare runs in the backward
+    # against the stored y (which the wgrad reads anyway)
+    y = jax.lax.optimization_barrier(y)
+    return (g * (y > 0).astype(g.dtype),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
 ACTIVATIONS = {
-    # plain maximum, not jax.nn.relu: relu's custom JVP materializes a u32
-    # (x > 0) mask per activation in the backward (115 MB per conv layer at
-    # the bench batch — diagnosed round 2); maximum recomputes the compare
-    # from the stored activation instead.
-    "relu": lambda x: jnp.maximum(x, 0),
+    "relu": relu,
     "elu": nn.elu,
     "gelu": nn.gelu,
     "tanh": jnp.tanh,
@@ -79,7 +109,7 @@ class TransformerEncoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
 
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        ff = nn.relu(ff)
+        ff = relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         ff = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(ff)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
@@ -203,7 +233,7 @@ class ScanRNN(nn.Module):
             def step(h, xp):
                 if cell in ("rnn", "rnn_tanh"):
                     pre = xp + h @ w_hh + b_hh
-                    new_h = nn.relu(pre) if cell == "rnn" else jnp.tanh(pre)
+                    new_h = relu(pre) if cell == "rnn" else jnp.tanh(pre)
                     return new_h, new_h
                 if cell == "gru":
                     hp = h @ w_hh + b_hh

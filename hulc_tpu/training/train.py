@@ -43,6 +43,12 @@ def main(argv=None):
         help="C++ threads per shm window gather (multi-core hosts)",
     )
     p.add_argument(
+        "--fuse", action=argparse.BooleanOptionalAction, default=True,
+        help="loader-side modality fusion: one [vis; lang] 2B train batch "
+        "through one fused pass (identical estimator, ~1 ms faster device "
+        "step; --no-fuse keeps two per-modality passes)",
+    )
+    p.add_argument(
         "--checkpoint-policy", default="all",
         help="checkpoint retention preset (all|val_action|lh_sr|task_sr|kl|"
         "clip_loss|state_recon — reference conf/callbacks/checkpoint/*.yaml)",
@@ -130,6 +136,7 @@ def main(argv=None):
     train_loader = make_loaders(
         cfg, root, "training", args.batch_size, min_w, max_w, cache=args.cache,
         seed=args.seed, num_workers=args.loader_workers, gather_threads=args.gather_threads,
+        fuse=args.fuse,
     )
     try:
         val_loader = make_loaders(

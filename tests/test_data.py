@@ -227,3 +227,53 @@ def test_combined_loader_multiworker(fixture_root):
         assert b["lang"].lang is not None
     # a second epoch works (threads respawn cleanly)
     assert len(list(loader)) == len(loader)
+
+
+def test_loader_side_fusion_matches_in_graph_fusion(fixture_root):
+    """{"fused": 2B} host-stacked batches produce bitwise the same losses as
+    the in-graph fuse_modalities concat (no-aug preprocessing; same rng)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulc_tpu.data.loader import CombinedLoader
+    from hulc_tpu.models import example_batch, init_params, make_model
+    from hulc_tpu.training.preprocess import preprocess_batch
+
+    cfg = get_config("hulc_debug", fuse_modalities=True)
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    rng = jax.random.key(7)
+
+    prep_sep = preprocess_batch(cfg, batch, rng=None, train=False)
+    losses_graph = model.apply(
+        {"params": params}, rng, prep_sep, 0.01, method=model.train_losses,
+        rngs={"dropout": jax.random.key(3)},
+    )
+
+    fused = CombinedLoader.fuse_batch(batch)
+    prep_fused = preprocess_batch(cfg, fused, rng=None, train=False)
+    losses_loader = model.apply(
+        {"params": params}, rng, prep_fused, 0.01, method=model.train_losses,
+        rngs={"dropout": jax.random.key(3)},
+    )
+    for k in losses_graph:
+        np.testing.assert_allclose(
+            np.asarray(losses_graph[k]), np.asarray(losses_loader[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_fused_loader_schema(fixture_root):
+    """fuse=True emits {"fused"} with [vis; lang] stacking and lang fields."""
+    cfg = get_config("gcbc_debug")
+    loader = make_loaders(
+        cfg, fixture_root, batch_size=2, min_window=8, max_window=8,
+        cache="none", fuse=True,
+    )
+    batch = next(iter(loader))
+    assert set(batch) == {"fused"}
+    f = batch["fused"]
+    assert f.rgb_static.shape[0] == 4 and f.actions.shape[0] == 4
+    assert f.lang is not None and f.lang.shape[0] == 2
+    assert f.use_for_aux_lang_loss is not None and f.use_for_aux_lang_loss.shape[0] == 2

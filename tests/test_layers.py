@@ -163,3 +163,44 @@ def test_quaternion_axis_angle_w_negative():
     # fp32 sin near pi limits precision; assert the magnitude is O(2pi),
     # far from the old bug's ~5e-7
     assert np.linalg.norm(aa) > 3.0
+
+
+def test_relu_custom_vjp_gradient_matches_torch():
+    """The custom-VJP relu (layers.relu) must reproduce torch's backward
+    exactly, including relu'(0) = 0 (jnp.maximum's JVP splits ties 0.5)."""
+    from hulc_tpu.models.layers import relu
+
+    x = np.asarray([-2.0, -1e-8, 0.0, 1e-8, 3.5], dtype=np.float32)
+    t_x = torch.from_numpy(x).requires_grad_(True)
+    torch.relu(t_x).sum().backward()
+
+    g = jax.grad(lambda v: relu(v).sum())(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(g), t_x.grad.numpy())
+
+
+def test_relu_rnn_gradient_matches_torch():
+    """End-to-end backward through the relu ScanRNN (lax.scan over the
+    custom-VJP relu) vs torch nn.RNN(relu) — weight grads must agree."""
+    torch.manual_seed(5)
+    t_rnn = torch.nn.RNN(F, H, num_layers=1, batch_first=True, nonlinearity="relu")
+    x = np.random.default_rng(6).normal(size=(B, S, F)).astype(np.float32)
+
+    t_x = torch.from_numpy(x)
+    t_out, _ = t_rnn(t_x)
+    t_out.sum().backward()
+    t_wih_grad = t_rnn.weight_ih_l0.grad.numpy()
+    t_whh_grad = t_rnn.weight_hh_l0.grad.numpy()
+
+    model = ScanRNN(hidden_size=H, num_layers=1, cell="rnn")
+    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = _set_rnn_params(params, t_rnn, 1)
+
+    def loss(p):
+        out, _ = model.apply({"params": p}, jnp.asarray(x))
+        return out.sum()
+
+    grads = jax.grad(loss)(params)
+    np.testing.assert_allclose(
+        np.asarray(grads["ih_0"]["kernel"]).T, t_wih_grad, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(grads["hh_0"]).T, t_whh_grad, atol=1e-3)
