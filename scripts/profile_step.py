@@ -43,7 +43,12 @@ def capture(config: str, batch: int, seq: int, steps: int) -> None:
     cfg = get_config(config, compute_dtype="bfloat16")
     trainer = Trainer(cfg, TrainerConfig(run_dir="/tmp/hulc_profile_run", donate_state=True))
     pe = cfg.perceptual_encoder
-    raw = _make_raw_batch(cfg, batch, seq, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
+    from hulc_tpu.data.loader import CombinedLoader
+
+    # fused schema = the training default (loader-side [vis; lang] stacking)
+    raw = CombinedLoader.fuse_batch(
+        _make_raw_batch(cfg, batch, seq, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
+    )
     tiny = _make_raw_batch(cfg, 2, 8, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
     state = trainer.init_state(tiny, steps_per_epoch=1)
     step = trainer.make_train_step()
