@@ -22,19 +22,21 @@ Array = jax.Array
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = self.dtype
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
-                      use_bias=False, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+                      use_bias=False, dtype=dt, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, dt, name="bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, dt, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
+                               use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes, dt, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -42,19 +44,22 @@ class ResNet18Features(nn.Module):
     """ResNet18 up to global average pool -> 512-d features."""
 
     in_conv_features: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = self.dtype
         x = nn.Conv(self.in_conv_features, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(self.in_conv_features, name="bn1")(x))
+                    use_bias=False, dtype=dt, name="conv1")(x.astype(dt))
+        x = nn.relu(FrozenBatchNorm(self.in_conv_features, dt, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for li, (planes, blocks, stride) in enumerate(
             [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]
         ):
             for bi in range(blocks):
-                x = BasicBlock(planes, stride if bi == 0 else 1, name=f"layer{li + 1}_{bi}")(x)
-        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 512)
+                x = BasicBlock(planes, stride if bi == 0 else 1, dt, name=f"layer{li + 1}_{bi}")(x)
+        # pool in fp32 (mean over H*W positions)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (B, 512)
 
 
 def convert_torchvision_resnet18(state_dict) -> dict:
@@ -111,12 +116,13 @@ class TactileEncoder(nn.Module):
 
     visual_features: int = 64
     freeze_backbone: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
-        backbone = ResNet18Features(name="backbone")
+        backbone = ResNet18Features(dtype=self.dtype, name="backbone")
         feats = jnp.concatenate([backbone(x[..., :3]), backbone(x[..., 3:6])], axis=-1)
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
-        x = nn.relu(nn.Dense(512, name="fc1")(feats))
-        return nn.Dense(self.visual_features, name="fc2")(x)
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(feats))
+        return nn.Dense(self.visual_features, dtype=self.dtype, name="fc2")(x)

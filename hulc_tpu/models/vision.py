@@ -200,10 +200,11 @@ def make_vision_encoder(cfg: VisionEncoderConfig, dtype, name: str):
         from hulc_tpu.models.clip import VisionClip
 
         return VisionClip(
-            visual_features=cfg.visual_features, model_name=cfg.clip_model, name=name
+            visual_features=cfg.visual_features, model_name=cfg.clip_model,
+            dtype=dtype, name=name,
         )
     if cfg.kind == "tactile":
         from hulc_tpu.models.tactile import TactileEncoder
 
-        return TactileEncoder(visual_features=cfg.visual_features, name=name)
+        return TactileEncoder(visual_features=cfg.visual_features, dtype=dtype, name=name)
     raise ValueError(f"unknown vision encoder kind {cfg.kind!r}")

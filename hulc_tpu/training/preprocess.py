@@ -62,7 +62,18 @@ def _prep_depth(depth, rng, train, gaussian_std=0.0, gamma_noise=False):
     if not train or rng is None:
         return x
     if gamma_noise:
-        mult = jax.random.gamma(rng, 1000.0, x.shape) / 1000.0
+        # Gamma(k=1000)/1000 multiplicative noise (reference AddDepthNoise
+        # shape=rate=1000). jax.random.gamma's rejection sampler lowers to
+        # per-pixel u32 while-loops — measured ~45 ms/step at B=8+8,S=16 on
+        # the depth variant (80% of the whole step). For k=1000 the
+        # Wilson-Hilferty cube-of-a-Gaussian approximation
+        #   Gamma(k) ~= k * (1 - 1/(9k) + Z * sqrt(1/(9k)))**3
+        # has relative moment error O(1/k^2) (~1e-6 here) — far below the
+        # noise's own std (3.2%) — and is loop-free on the VPU.
+        k = 1000.0
+        c = 1.0 / (9.0 * k)
+        z = jax.random.normal(rng, x.shape)
+        mult = (1.0 - c + z * jnp.sqrt(c)) ** 3
         return x * mult
     if gaussian_std > 0.0:
         return x + gaussian_std * jax.random.normal(rng, x.shape)

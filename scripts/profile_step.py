@@ -46,10 +46,8 @@ def capture(config: str, batch: int, seq: int, steps: int) -> None:
     from hulc_tpu.data.loader import CombinedLoader
 
     # fused schema = the training default (loader-side [vis; lang] stacking)
-    raw = CombinedLoader.fuse_batch(
-        _make_raw_batch(cfg, batch, seq, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
-    )
-    tiny = _make_raw_batch(cfg, 2, 8, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
+    raw = CombinedLoader.fuse_batch(_make_raw_batch(cfg, batch, seq))
+    tiny = _make_raw_batch(cfg, 2, 8)
     state = trainer.init_state(tiny, steps_per_epoch=1)
     step = trainer.make_train_step()
     sharded = shard_batch_tree(raw, trainer.mesh)
