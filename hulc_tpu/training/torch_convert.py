@@ -274,3 +274,60 @@ def load_torch_checkpoint(path, cfg: HulcConfig) -> Tuple[Dict[str, Any], List[s
     raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
     return convert_state_dict(sd, cfg)
+
+
+def main(argv=None):
+    """CLI: convert a reference .ckpt into a flax params .npz.
+
+    Usage: python -m hulc_tpu.training.torch_convert <ckpt> <out.npz>
+           [--config hulc]
+
+    The output is a flat {'/'-joined path: array} npz; load it back with
+    :func:`load_params_npz` or hand the tree to
+    ``training.pretrain.initialize_pretrained_weights``.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="reference torch checkpoint -> flax params")
+    p.add_argument("ckpt", help="Lightning .ckpt or raw state_dict .pt")
+    p.add_argument("out", help="output .npz path")
+    p.add_argument("--config", default="hulc", help="model preset the checkpoint matches")
+    args = p.parse_args(argv)
+
+    from hulc_tpu.config import get_config
+
+    params, unused = load_torch_checkpoint(args.ckpt, get_config(args.config))
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    np.savez(args.out, **flat)
+    print(f"[torch_convert] wrote {len(flat)} arrays -> {args.out}")
+    if unused:
+        print(f"[torch_convert] {len(unused)} unmapped reference keys (head/optimizer/etc):")
+        for k in unused[:20]:
+            print(f"  {k}")
+
+
+def load_params_npz(path) -> Dict[str, Any]:
+    """Inverse of the CLI dump: .npz -> nested flax params dict."""
+    out: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p_ in parts[:-1]:
+                node = node.setdefault(p_, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
+if __name__ == "__main__":
+    main()

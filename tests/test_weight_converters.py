@@ -132,3 +132,30 @@ def test_clip_convert_real_checkpoint():
     conv_tree = jax.tree_util.tree_map(jnp.asarray, params["visual"])
     ours = module.apply({"params": conv_tree}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(ours), ref_img, rtol=1e-3, atol=1e-3)
+
+
+def test_torch_convert_npz_round_trip(tmp_path, monkeypatch):
+    """The torch_convert CLI dumps a flat npz; load_params_npz must invert it
+    exactly (nested tree, array values)."""
+    import hulc_tpu.training.torch_convert as tc
+
+    tree = {
+        "perceptual_encoder": {
+            "rgb_static": {"conv0": {"kernel": np.arange(12.0).reshape(3, 4)}},
+            "ln": {"scale": np.ones(5, np.float32)},
+        },
+        "plan_proposal": {"fc0": {"bias": np.zeros(3)}},
+    }
+    monkeypatch.setattr(tc, "load_torch_checkpoint", lambda p, c: (tree, ["extra.key"]))
+    out = tmp_path / "params.npz"
+    tc.main(["ignored.ckpt", str(out), "--config", "hulc_debug"])
+    loaded = tc.load_params_npz(out)
+
+    import jax
+
+    flat_a = jax.tree.leaves_with_path(tree)
+    flat_b = jax.tree.leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=str), sorted(flat_b, key=str)):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(va, vb)
