@@ -256,6 +256,10 @@ def main():
             # worker-scaling probe: sustained assembly rate at 1/2/4 workers
             # (host-only, device idle). Flat on this 1-core VM; scales on
             # multi-core production hosts (GIL-released numpy/C++ gathers).
+            # Close the endless iterator FIRST: its worker thread draws from
+            # the same per-modality np rngs, and draws are only serialized
+            # within one iterator's lock (loader.py draw_all).
+            it.close()
             workers_mb_s = {
                 w: round(_assembly_rate_mb_s(loader, w), 1) for w in (1, 2, 4)
             }

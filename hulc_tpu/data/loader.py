@@ -166,6 +166,13 @@ class CombinedLoader:
     def __len__(self) -> int:
         return max(len(l) for l in self.loaders.values())
 
+    # fields that describe the language half only (ride the fused struct
+    # un-stacked); every OTHER ModalityBatch field is per-frame data and is
+    # row-stacked — derived from _fields so a new data field can never be
+    # silently dropped from one of the two fusion paths (the in-graph
+    # variant in models/hulc.py uses the same split).
+    LANG_ONLY_FIELDS = ("lang", "use_for_aux_lang_loss", "idx")
+
     @staticmethod
     def fuse_batch(batch: Dict[str, ModalityBatch]) -> Dict[str, ModalityBatch]:
         """Host-side [vis; lang] row stacking -> {"fused": 2B ModalityBatch}."""
@@ -175,21 +182,13 @@ class CombinedLoader:
             a, c = getattr(vis, f), getattr(lang, f)
             return np.concatenate([a, c], axis=0) if a is not None and c is not None else None
 
-        return {
-            "fused": ModalityBatch(
-                rgb_static=cat("rgb_static"),
-                rgb_gripper=cat("rgb_gripper"),
-                robot_obs=cat("robot_obs"),
-                actions=cat("actions"),
-                state_info_robot_obs=cat("state_info_robot_obs"),
-                depth_static=cat("depth_static"),
-                depth_gripper=cat("depth_gripper"),
-                rgb_tactile=cat("rgb_tactile"),
-                lang=lang.lang,
-                use_for_aux_lang_loss=lang.use_for_aux_lang_loss,
-                idx=lang.idx,
-            )
-        }
+        fields = {}
+        for f in ModalityBatch._fields:
+            if f in CombinedLoader.LANG_ONLY_FIELDS:
+                fields[f] = getattr(lang, f)
+            else:
+                fields[f] = cat(f)
+        return {"fused": ModalityBatch(**fields)}
 
     def _make(self) -> Dict[str, ModalityBatch]:
         if self.deterministic:
@@ -331,8 +330,17 @@ def make_loaders(
     if not loaders:
         raise ValueError(f"no modalities selected from {modalities!r}")
     # val stays per-modality (val_metrics); single-modality runs (vis_only /
-    # lang_only configs) have nothing to fuse — quietly fall back
-    fuse = fuse and not deterministic and set(loaders) == {"vis", "lang"}
+    # lang_only configs) have nothing to fuse — quietly fall back.
+    # Multi-process: host_local_batch_to_global stitches per-PROCESS shards
+    # ([vis0;lang0;vis1;lang1]), which breaks the fused pass's global
+    # [vis...; lang...] half-split — keep per-modality batches there (the
+    # in-graph concat of globally-stitched modality arrays stays correct).
+    import jax
+
+    fuse = (
+        fuse and not deterministic and set(loaders) == {"vis", "lang"}
+        and jax.process_count() == 1
+    )
     return CombinedLoader(
         loaders, deterministic=deterministic, num_workers=num_workers, fuse=fuse
     )

@@ -67,6 +67,10 @@ class RolloutLongHorizonCallback:
         self.statistics = statistics
         self.seed = seed
         self.mode = mode if (env_factory is not None or mode != "batched") else "sequential"
+        if self.mode == "sequential" and self.env is None:
+            # fail at construction, not mid-training at the first rollout
+            # epoch: sequential mode drives one concrete env instance
+            self.env = env_factory()
         self.num_envs = num_envs
         self.num_videos = num_videos
         self.video_dir = video_dir

@@ -332,15 +332,12 @@ class HulcModel(nn.Module):
                 a, c = getattr(vis, f), getattr(lang, f)
                 return jnp.concatenate([a, c], axis=0) if a is not None and c is not None else None
 
+            # same per-frame/lang-only field split as the loader-side
+            # CombinedLoader.fuse_batch — derived from _fields so a new data
+            # field can't be dropped from one path silently
+            lang_only = ("lang", "use_for_aux_lang_loss", "idx")
             fused = ModalityBatch(
-                rgb_static=cat("rgb_static"),
-                rgb_gripper=cat("rgb_gripper"),
-                robot_obs=cat("robot_obs"),
-                actions=cat("actions"),
-                state_info_robot_obs=cat("state_info_robot_obs"),
-                depth_static=cat("depth_static"),
-                depth_gripper=cat("depth_gripper"),
-                rgb_tactile=cat("rgb_tactile"),
+                **{f: None if f in lang_only else cat(f) for f in ModalityBatch._fields}
             )
         rng, k_plan = jax.random.split(rng)
         perceptual_emb, visual_emb = self.encode(fused, deterministic=False)

@@ -61,7 +61,7 @@ def run_arm(cfg_name, fixture, echo, steps, batch, window, lr, seed):
         "echo": echo,
         "final_total_loss": round(sum(tail) / len(tail), 3),
         "final_action_loss_pp": round(
-            val.get("vis_act_loss_pp", val.get("vis_mae_pp", float("nan"))), 3
+            val.get("vis_action_loss_pp", float("nan")), 3
         ),
         "val_vis_mae_pp": round(val.get("vis_mae_pp", float("nan")), 3),
         "val_lang_mae_pp": round(val.get("lang_mae_pp", float("nan")), 3),

@@ -55,15 +55,18 @@ def sweep_one(name: str, batch: int, seq: int, steps: int):
     rng = jax.random.key(0)
     kl = jnp.asarray(0.01)
 
+    import numpy as np
+
     state, losses = step(state, sharded, rng, kl)
     total = float(losses["total_loss"])  # warm + real sync
-    assert total == total, f"{name}: non-finite loss"
+    assert np.isfinite(total), f"{name}: non-finite warmup loss {total}"
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, losses = step(state, sharded, rng, kl)
     total = float(losses["total_loss"])
     step_ms = (time.perf_counter() - t0) / steps * 1e3
+    assert np.isfinite(total), f"{name}: non-finite loss after {steps} steps: {total}"
     seq_s = 2 * batch / (step_ms / 1e3)
     return step_ms, seq_s, total
 

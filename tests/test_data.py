@@ -277,3 +277,20 @@ def test_fused_loader_schema(fixture_root):
     assert f.rgb_static.shape[0] == 4 and f.actions.shape[0] == 4
     assert f.lang is not None and f.lang.shape[0] == 2
     assert f.use_for_aux_lang_loss is not None and f.use_for_aux_lang_loss.shape[0] == 2
+
+
+def test_fusion_disabled_multiprocess(fixture_root, monkeypatch):
+    """Loader-side fusion must turn itself off under multi-process training:
+    host_local_batch_to_global stitches per-PROCESS shards, which would break
+    the fused pass's global [vis...; lang...] half-split."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    cfg = get_config("gcbc_debug")
+    loader = make_loaders(
+        cfg, fixture_root, batch_size=2, min_window=8, max_window=8,
+        cache="none", fuse=True,
+    )
+    assert loader.fuse is False
+    batch = loader._make()
+    assert set(batch) == {"vis", "lang"}
