@@ -113,3 +113,59 @@ def fsdp_param_sharding(params, mesh: Mesh, axis_name: str = "data", min_size: i
 def shard_params_fsdp(params, mesh: Mesh, axis_name: str = "data", min_size: int = 2**16):
     shardings = fsdp_param_sharding(params, mesh, axis_name, min_size)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def make_mesh_2d(data: int, model: int) -> Mesh:
+    """('data', 'model') mesh for combined data + tensor parallelism.
+
+    The scaling-book recipe: annotate batch over 'data' and weight shards
+    over 'model', jit the step, and XLA's SPMD partitioner inserts the
+    all-gathers/reduce-scatters/psums over ICI.
+    """
+    devices = jax.devices()
+    need = data * model
+    if len(devices) < need:
+        raise ValueError(f"mesh {data}x{model} needs {need} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:need]).reshape(data, model), ("data", "model"))
+
+
+def tp_param_sharding(
+    params,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: Optional[str] = None,
+    min_size: int = 2**16,
+):
+    """Tensor-parallel weight partitioning (Megatron column-parallel style).
+
+    Matrix kernels shard their OUTPUT (last) dim over the model axis; the
+    matching biases follow; conv kernels shard the output-channel dim.
+    Activations are left unannotated — GSPMD propagates feature-dim shardings
+    through matmul -> elementwise -> matmul chains and inserts the collectives
+    (this is deliberate: hand-placing psums is the NCCL mindset, not the XLA
+    one). With ``data_axis`` set, the remaining largest divisible dim is
+    additionally ZeRO-sharded over data (tp + fsdp).
+
+    The reference has no model-parallel story at all (DDP only,
+    training.py:65-69); HULC's 47M params fit replicated — this exists for
+    the larger variants (CLIP towers) and as the framework's scaling path.
+    """
+    n_model = mesh.shape[model_axis]
+    n_data = mesh.shape[data_axis] if data_axis else 1
+
+    def spec_for(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        if shape[-1] % n_model == 0:
+            spec[-1] = model_axis
+        if data_axis:
+            order = sorted(range(len(shape) - 1), key=lambda i: -shape[i])
+            for i in order:
+                if shape[i] % n_data == 0:
+                    spec[i] = data_axis
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, params)

@@ -70,6 +70,12 @@ class TrainerConfig:
     # ZeRO-3-style parameter sharding over the data axis. The 47M-param HULC
     # fits replicated (the default); enable for larger model variants.
     fsdp: bool = False
+    # tensor parallelism: size of the 'model' mesh axis (1 = off). With
+    # tp > 1 the mesh is 2D (data x model); matmul kernels are
+    # column-partitioned over 'model' (parallel/mesh.py::tp_param_sharding)
+    # and XLA's SPMD partitioner propagates activation shardings + inserts
+    # the collectives. Combine with fsdp=True for ZeRO over the data axis.
+    tp: int = 1
     # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     # written to <run_dir>/profile (no profiling subsystem exists in the
     # reference to port — SURVEY.md §5)
@@ -115,7 +121,15 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.model: HulcModel = make_model(cfg)
-        self.mesh = make_mesh(tcfg.num_devices)
+        if tcfg.tp > 1:
+            from hulc_tpu.parallel.mesh import make_mesh_2d
+
+            n_total = tcfg.num_devices or len(jax.devices())
+            if n_total % tcfg.tp:
+                raise ValueError(f"num_devices {n_total} not divisible by tp={tcfg.tp}")
+            self.mesh = make_mesh_2d(n_total // tcfg.tp, tcfg.tp)
+        else:
+            self.mesh = make_mesh(tcfg.num_devices)
         self.logger = MetricLogger(tcfg.run_dir)
         self._train_step = None
         self._val_step = None
@@ -151,6 +165,15 @@ class Trainer:
             )
             return variables["params"]
 
+        if self.tcfg.tp > 1:
+            from hulc_tpu.parallel.mesh import tp_param_sharding
+
+            shapes = jax.eval_shape(init_fn, rng)
+            shardings = tp_param_sharding(
+                shapes, self.mesh, data_axis="data" if self.tcfg.fsdp else None
+            )
+            params = jax.jit(init_fn, out_shardings=shardings)(rng)
+            return TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
         if self.tcfg.fsdp:
             from hulc_tpu.parallel.mesh import fsdp_param_sharding
 
@@ -192,10 +215,10 @@ class Trainer:
             return new_state, losses
 
         donate = (0,) if self.tcfg.donate_state else ()
-        if self.tcfg.fsdp:
-            # shardings inferred from input placement: params stay ZeRO-3
-            # sharded; XLA all-gathers weights per use and reduce-scatters
-            # the gradients
+        if self.tcfg.fsdp or self.tcfg.tp > 1:
+            # shardings inferred from input placement: params stay ZeRO-3 /
+            # tensor-parallel sharded; XLA propagates activation shardings
+            # and inserts the all-gather/reduce-scatter/psum collectives
             return jax.jit(train_step, donate_argnums=donate)
         return jax.jit(
             train_step,
@@ -220,6 +243,8 @@ class Trainer:
             # drop non-scalar outputs (sampled plans) for logging reduction
             return {k: v for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
 
+        if self.tcfg.fsdp or self.tcfg.tp > 1:
+            return jax.jit(val_step)  # shardings inferred from placement
         return jax.jit(
             val_step,
             in_shardings=(

@@ -223,3 +223,83 @@ def test_dryrun_multihost_two_process():
     from __graft_entry__ import dryrun_multihost
 
     dryrun_multihost(2)  # raises on divergence
+
+
+def test_tp_tensor_parallel_step():
+    """tp=4 over a 2x4 (data x model) mesh: matmul kernels column-partitioned
+    over 'model', one train step runs via GSPMD-propagated collectives, loss
+    matches the replicated data-parallel run on the same batch."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 8, 8)
+
+    tcfg = TrainerConfig(run_dir="/tmp/na_tp", num_devices=8, donate_state=False, tp=4)
+    tr = Trainer(cfg, tcfg)
+    assert tr.mesh.shape == {"data": 2, "model": 4}
+    state = tr.init_state(raw, steps_per_epoch=1)
+    # at least one big kernel must be sharded over the model axis (last dim)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(state.params)
+        if leaf.size >= 2**16
+    ]
+    assert any(spec and spec[-1] == "model" for spec in specs), specs
+    # adam moments inherit the tensor-parallel shardings
+    opt_specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(state.opt_state)
+        if getattr(leaf, "size", 0) >= 2**16
+    ]
+    assert any(spec and spec[-1] == "model" for spec in opt_specs), opt_specs
+
+    step = tr.make_train_step()
+    sharded = shard_batch_tree(raw, tr.mesh)
+    state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
+    tp_loss = float(losses["total_loss"])
+    assert np.isfinite(tp_loss)
+
+    tcfg2 = TrainerConfig(run_dir="/tmp/na_tp_ref", num_devices=8, donate_state=False)
+    tr2 = Trainer(cfg, tcfg2)
+    state2 = tr2.init_state(raw, steps_per_epoch=1)
+    step2 = tr2.make_train_step()
+    _, losses2 = step2(state2, shard_batch_tree(raw, tr2.mesh), jax.random.key(0), jnp.asarray(0.01))
+    np.testing.assert_allclose(tp_loss, float(losses2["total_loss"]), rtol=1e-4)
+
+
+def test_tp_plus_fsdp_combined():
+    """tp=2 with fsdp=True: kernels sharded over 'model' on the output dim
+    AND ZeRO-sharded over 'data' on another dim; step runs, loss matches DP."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 8, 8)
+
+    tcfg = TrainerConfig(
+        run_dir="/tmp/na_tpf", num_devices=8, donate_state=False, tp=2, fsdp=True
+    )
+    tr = Trainer(cfg, tcfg)
+    assert tr.mesh.shape == {"data": 4, "model": 2}
+    state = tr.init_state(raw, steps_per_epoch=1)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(state.params)
+        if leaf.size >= 2**16
+    ]
+    assert any(s and s[-1] == "model" and "data" in s for s in specs), specs
+    step = tr.make_train_step()
+    state, losses = step(
+        state, shard_batch_tree(raw, tr.mesh), jax.random.key(0), jnp.asarray(0.01)
+    )
+    combined_loss = float(losses["total_loss"])
+    assert np.isfinite(combined_loss)
+
+    tcfg2 = TrainerConfig(run_dir="/tmp/na_tpf_ref", num_devices=8, donate_state=False)
+    tr2 = Trainer(cfg, tcfg2)
+    state2 = tr2.init_state(raw, steps_per_epoch=1)
+    _, losses2 = tr2.make_train_step()(
+        state2, shard_batch_tree(raw, tr2.mesh), jax.random.key(0), jnp.asarray(0.01)
+    )
+    np.testing.assert_allclose(combined_loss, float(losses2["total_loss"]), rtol=1e-4)
