@@ -60,6 +60,16 @@ def main(argv=None):
         "for the measured training-quality cost per echo level)",
     )
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument(
+        "--fsdp", action="store_true",
+        help="ZeRO-3 param+optimizer sharding over the data axis",
+    )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor parallelism: size of the 'model' mesh axis (2D data x "
+        "model mesh, Megatron-style column-partitioned kernels; composes "
+        "with --fsdp)",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50, help="log every N loader batches")
@@ -131,6 +141,8 @@ def main(argv=None):
         echo_factor=args.echo_factor,
         log_every=args.log_every,
         checkpoint_every_epochs=args.checkpoint_every,
+        fsdp=args.fsdp,
+        tp=args.tp,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(
