@@ -303,3 +303,50 @@ def test_tp_plus_fsdp_combined():
         state2, shard_batch_tree(raw, tr2.mesh), jax.random.key(0), jnp.asarray(0.01)
     )
     np.testing.assert_allclose(combined_loss, float(losses2["total_loss"]), rtol=1e-4)
+
+
+def test_checkpoint_restore_across_topologies(tmp_path):
+    """A checkpoint saved from a tensor-parallel (2D mesh) run restores into
+    a plain data-parallel trainer (and vice versa would mirror): orbax
+    restores into the NEW topology's shardings from the resume template, so
+    elastic topology changes need no conversion step."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+    from hulc_tpu.training import checkpoint as ckpt
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 8, 8)
+
+    tr_tp = Trainer(
+        cfg, TrainerConfig(run_dir=str(tmp_path), num_devices=8, donate_state=False, tp=2)
+    )
+    state_tp = tr_tp.init_state(raw, steps_per_epoch=1)
+    step_tp = tr_tp.make_train_step()
+    state_tp, _ = step_tp(
+        state_tp, shard_batch_tree(raw, tr_tp.mesh), jax.random.key(0), jnp.asarray(0.01)
+    )
+    ckpt.save_checkpoint(
+        tmp_path, 0,
+        {"params": state_tp.params, "opt_state": state_tp.opt_state, "step": int(state_tp.step)},
+    )
+
+    tr_dp = Trainer(
+        cfg, TrainerConfig(run_dir=str(tmp_path), num_devices=8, donate_state=False)
+    )
+    state_dp = tr_dp.init_state(raw, steps_per_epoch=1)
+    template = {"params": state_dp.params, "opt_state": state_dp.opt_state, "step": 0}
+    restored = ckpt.restore_checkpoint(ckpt.latest_checkpoint(tmp_path), template)
+
+    # values equal the tp-trained params; placement follows the dp mesh
+    for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(state_tp.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.sharding.mesh.shape == tr_dp.mesh.shape
+
+    # the dp trainer can step with the restored state
+    state_dp = state_dp.replace(
+        params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
+    )
+    _, losses = tr_dp.make_train_step()(
+        state_dp, shard_batch_tree(raw, tr_dp.mesh), jax.random.key(1), jnp.asarray(0.01)
+    )
+    assert np.isfinite(float(losses["total_loss"]))
