@@ -152,3 +152,55 @@ def test_annotation_end_frame_is_oracle_consistent():
             assert task not in oracle.get_task_info_for_set(
                 start_info, {"scene_obs": store.scene[end - 1]}, {task}
             )
+
+
+def test_oracle_task_table_matches_reference_yaml():
+    """The oracle's task parameterization (names, rotate degrees, push
+    directions, door joints/thresholds, lift heights/surfaces, light ids,
+    push_into_drawer block set) must equal the reference's vendored
+    new_playtable_tasks.yaml — the single source of truth the real
+    calvin_env Tasks is instantiated from."""
+    import yaml
+
+    from tests.conftest import REFERENCE_ROOT
+    from hulc_tpu.evaluation import tasks as T
+
+    path = REFERENCE_ROOT / "conf/callbacks/rollout/tasks/new_playtable_tasks.yaml"
+    spec = yaml.safe_load(path.read_text())["tasks"]
+
+    assert set(spec) == set(T.ALL_TASKS)
+
+    for name, args in spec.items():
+        kind = args[0]
+        if kind == "rotate_object":
+            block, deg = T.ROTATE_TASKS[name]
+            assert (block, deg) == (args[1], args[2]), name
+        elif kind == "push_object":
+            block, dx = T.PUSH_TASKS[name]
+            assert (block, dx) == (args[1], args[2]), name
+            assert args[3] == 0, name  # y_direction always 0 in the protocol
+        elif kind == "move_door_rel":
+            idx, thr = T.DOOR_TASKS[name]
+            # scene_obs layout: slider=0 (base__slide), drawer=1 (base__drawer)
+            assert idx == {"base__slide": 0, "base__drawer": 1}[args[1]], name
+            assert thr == args[2], name
+        elif kind == "lift_object":
+            block, dz, surf = T.LIFT_TASKS[name]
+            assert (block, dz) == (args[1], args[2]), name
+            assert surf == {"base_link": "table", "plank_link": "slider",
+                            "drawer_link": "drawer"}[args[4]], name
+        elif kind == "toggle_light":
+            idx, frm, to = T.LIGHT_TASKS[name]
+            # scene_obs layout: lightbulb=4, led=5
+            assert idx == {"lightbulb": 4, "led": 5}[args[1]], name
+            assert (frm, to) == (args[2], args[3]), name
+        elif kind == "place_object":
+            surf = T.PLACE_TASKS[name]
+            assert surf == {"plank_link": "slider", "drawer_link": "drawer"}[args[2]], name
+        elif kind == "push_object_into":
+            assert name == "push_into_drawer"
+            assert set(args[1]) == set(T.BLOCKS), name
+        elif kind in ("stack_objects", "unstack_objects"):
+            assert name in ("stack_block", "unstack_block")
+        else:
+            raise AssertionError(f"unknown base task {kind} for {name}")
