@@ -61,6 +61,10 @@ def main(argv=None):
     )
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument(
+        "--optimizer", default="adam", choices=["adam", "adamw", "sgd"],
+        help="reference conf/model/optimizer/*.yaml (adamw: wd 1e-6; sgd: momentum 0.9)",
+    )
+    p.add_argument(
         "--fsdp", action="store_true",
         help="ZeRO-3 param+optimizer sharding over the data axis",
     )
@@ -143,6 +147,7 @@ def main(argv=None):
         checkpoint_every_epochs=args.checkpoint_every,
         fsdp=args.fsdp,
         tp=args.tp,
+        optimizer=args.optimizer,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(

@@ -76,6 +76,9 @@ class TrainerConfig:
     # and XLA's SPMD partitioner propagates activation shardings + inserts
     # the collectives. Combine with fsdp=True for ZeRO over the data axis.
     tp: int = 1
+    # optimizer family (reference conf/model/optimizer/*.yaml): adam
+    # (default), adamw (weight_decay 1e-6), sgd (momentum 0.9)
+    optimizer: str = "adam"
     # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     # written to <run_dir>/profile (no profiling subsystem exists in the
     # reference to port — SURVEY.md §5)
@@ -147,7 +150,16 @@ class Trainer:
             self.tcfg.lr_schedule, self.tcfg.lr, num_training_steps, self.tcfg.num_warmup_steps
         )
         self._lr_schedule = schedule  # for lr monitoring (reference LearningRateMonitor)
-        return optax.adam(schedule)
+        # reference conf/model/optimizer/{adam,adamw,sgd}.yaml (adam is the
+        # default in every published experiment config)
+        name = self.tcfg.optimizer
+        if name == "adam":
+            return optax.adam(schedule)
+        if name == "adamw":
+            return optax.adamw(schedule, weight_decay=1e-6)
+        if name == "sgd":
+            return optax.sgd(schedule, momentum=0.9)
+        raise ValueError(f"unknown optimizer {name!r} (adam|adamw|sgd)")
 
     def init_state(self, example_batch: Dict[str, ModalityBatch], steps_per_epoch: int) -> TrainState:
         tx = self.build_optimizer(steps_per_epoch)

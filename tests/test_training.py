@@ -350,3 +350,30 @@ def test_checkpoint_restore_across_topologies(tmp_path):
         state_dp, shard_batch_tree(raw, tr_dp.mesh), jax.random.key(1), jnp.asarray(0.01)
     )
     assert np.isfinite(float(losses["total_loss"]))
+
+
+@pytest.mark.parametrize("opt", ["adamw", "sgd"])
+def test_optimizer_variants_step(opt):
+    """adamw / sgd variants (reference conf/model/optimizer/*.yaml) build and
+    reduce the loss over a few steps on the same batch."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 4, 8)
+    tr = Trainer(
+        cfg,
+        TrainerConfig(run_dir=f"/tmp/na_opt_{opt}", num_devices=1,
+                      donate_state=False, optimizer=opt, lr=1e-3),
+    )
+    state = tr.init_state(raw, steps_per_epoch=1)
+    step = tr.make_train_step()
+    sharded = shard_batch_tree(raw, tr.mesh)
+    first = None
+    for i in range(8):
+        state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
+        if first is None:
+            first = float(losses["total_loss"])
+    last = float(losses["total_loss"])
+    assert np.isfinite(last)
+    assert last < first, (opt, first, last)
