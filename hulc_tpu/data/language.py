@@ -159,8 +159,31 @@ def write_lang_annotations(
 # conf/lang_ann.yaml keys prior_steps_window / reannotate)
 # ---------------------------------------------------------------------------
 
-# Instruction templates per task (fresh phrasings in the spirit of CALVIN's
-# synonymous-instruction bank; extend freely — training samples uniformly).
+def load_annotation_pools(split: str = "training") -> Optional[Dict[str, List[str]]]:
+    """CALVIN's published paraphrase pools (vendored MIT-licensed data asset,
+    assets/annotations/new_playtable*.yaml — 389 train / 34 val phrases over
+    the 34 tasks). Returns None if the asset or pyyaml is unavailable, in
+    which case the fallback TASK_INSTRUCTIONS bank below is used."""
+    import pathlib
+
+    name = (
+        "new_playtable.yaml" if split == "training" else "new_playtable_validation.yaml"
+    )
+    path = pathlib.Path(__file__).parent.parent / "assets" / "annotations" / name
+    if not path.exists():
+        return None
+    try:
+        import yaml
+
+        pools = yaml.safe_load(path.read_text())
+    except Exception:  # noqa: BLE001
+        return None
+    return {k: list(v) for k, v in pools.items()}
+
+
+# Fallback instruction templates per task (fresh phrasings in the spirit of
+# CALVIN's synonymous-instruction bank) — used when the vendored paraphrase
+# asset is unavailable; training samples uniformly either way.
 TASK_INSTRUCTIONS: Dict[str, List[str]] = {
     **{
         f"rotate_{c}_block_{d}": [
@@ -226,6 +249,7 @@ def annotate_play_data(
 
     oracle = oracle or SceneObsTasks()
     rng = np.random.default_rng(seed)
+    pools = load_annotation_pools("training") or TASK_INSTRUCTIONS
 
     def info_at(t: int) -> Dict:
         return {"scene_obs": store.get_window(t, 1)["scene_obs"][0]}
@@ -254,7 +278,7 @@ def annotate_play_data(
                 end = t + lo
                 if end - last_end.get(task, -(10**9)) > prior_steps_window // 2:
                     start = max(a, end - prior_steps_window)
-                    templates = TASK_INSTRUCTIONS.get(task, [task.replace("_", " ")])
+                    templates = pools.get(task, [task.replace("_", " ")])
                     ann = templates[int(rng.integers(len(templates)))]
                     annotations.append((ann, task, (start, end)))
                     last_end[task] = end

@@ -404,3 +404,18 @@ def test_clip_and_tactile_bf16_matches_f32():
     np.testing.assert_allclose(
         np.asarray(tout16, np.float32), np.asarray(tout32), rtol=0.15, atol=0.15
     )
+
+
+def test_vendored_annotation_pools():
+    """The vendored CALVIN paraphrase asset covers all 34 oracle tasks for
+    both splits and feeds annotate_play_data's instruction sampling."""
+    from hulc_tpu.data.language import TASK_INSTRUCTIONS, load_annotation_pools
+    from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+    for split in ("training", "validation"):
+        pools = load_annotation_pools(split)
+        assert pools is not None
+        assert set(pools) == set(ALL_TASKS)
+        assert all(p and all(isinstance(s, str) for s in p) for p in pools.values())
+    # the fallback bank covers the same tasks
+    assert set(TASK_INSTRUCTIONS) == set(ALL_TASKS)
