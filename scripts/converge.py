@@ -52,17 +52,29 @@ def main(argv=None):
     p.add_argument("--rollout-sequences", type=int, default=16)
     p.add_argument("--rollout-ep-len", type=int, default=45)
     p.add_argument("--keep-fixture", action="store_true")
+    p.add_argument("--fixture-dir", default=None,
+                   help="reuse an existing learnable fixture instead of generating one")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; run the loss asserts + eval + plots on an "
+                   "existing --run-dir (resume path when the tunnel wedges mid-"
+                   "pipeline — the 2026-08-17 backend drop killed an eval after "
+                   "a finished 35-min train)")
     args = p.parse_args(argv)
+    if args.eval_only and not (args.run_dir and args.fixture_dir):
+        raise SystemExit("--eval-only needs --run-dir and --fixture-dir")
 
     from hulc_tpu.data.fixtures import make_fixture_dataset
     from hulc_tpu.training import train as train_cli
 
     run_dir = args.run_dir or tempfile.mkdtemp(prefix="hulc_converge_")
-    fixture = pathlib.Path(tempfile.mkdtemp(prefix="hulc_conv_data_"))
-    make_fixture_dataset(fixture, num_episodes=4, episode_len=96, small=False, learnable=True)
+    if args.fixture_dir:
+        fixture = pathlib.Path(args.fixture_dir)
+    else:
+        fixture = pathlib.Path(tempfile.mkdtemp(prefix="hulc_conv_data_"))
+        make_fixture_dataset(fixture, num_episodes=4, episode_len=96, small=False, learnable=True)
 
     t0 = time.time()
-    train_cli.main([
+    train_args = [
         "--config", "hulc",
         "--data-dir", str(fixture),
         "--run-dir", str(run_dir),
@@ -77,8 +89,10 @@ def main(argv=None):
         "--val-max-batches", "1",
         "--log-every", "4",
         "--checkpoint-every", "100",  # the --steps cap still saves at the end
-    ])
-    train_s = time.time() - t0
+    ]
+    if not args.eval_only:
+        train_cli.main(train_args)
+    train_s = 0.0 if args.eval_only else time.time() - t0
 
     total = read_metric(run_dir, "train", "total_loss")
     clip = read_metric(run_dir, "train", "lang_clip_loss")
@@ -132,7 +146,7 @@ def main(argv=None):
         "run_dir": str(run_dir),
     }
     print("[converge] PASS " + json.dumps(summary))
-    if not args.keep_fixture:
+    if not args.keep_fixture and not args.fixture_dir:
         shutil.rmtree(fixture, ignore_errors=True)
     return summary
 
