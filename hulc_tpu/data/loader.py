@@ -166,28 +166,24 @@ class CombinedLoader:
     def __len__(self) -> int:
         return max(len(l) for l in self.loaders.values())
 
-    # fields that describe the language half only (ride the fused struct
-    # un-stacked); every OTHER ModalityBatch field is per-frame data and is
-    # row-stacked — derived from _fields so a new data field can never be
-    # silently dropped from one of the two fusion paths (the in-graph
-    # variant in models/hulc.py uses the same split).
-    LANG_ONLY_FIELDS = ("lang", "use_for_aux_lang_loss", "idx")
-
     @staticmethod
     def fuse_batch(batch: Dict[str, ModalityBatch]) -> Dict[str, ModalityBatch]:
-        """Host-side [vis; lang] row stacking -> {"fused": 2B ModalityBatch}."""
+        """Host-side [vis; lang] row stacking -> {"fused": 2B ModalityBatch}.
+
+        The per-frame/lang-only field split lives on the schema
+        (ModalityBatch.LANG_ONLY_FIELDS) so this and the in-graph fusion in
+        models/hulc.py can never diverge when a field is added.
+        """
         vis, lang = batch["vis"], batch["lang"]
 
         def cat(f):
             a, c = getattr(vis, f), getattr(lang, f)
             return np.concatenate([a, c], axis=0) if a is not None and c is not None else None
 
-        fields = {}
-        for f in ModalityBatch._fields:
-            if f in CombinedLoader.LANG_ONLY_FIELDS:
-                fields[f] = getattr(lang, f)
-            else:
-                fields[f] = cat(f)
+        fields = {
+            f: getattr(lang, f) if f in ModalityBatch.LANG_ONLY_FIELDS else cat(f)
+            for f in ModalityBatch._fields
+        }
         return {"fused": ModalityBatch(**fields)}
 
     def _make(self) -> Dict[str, ModalityBatch]:

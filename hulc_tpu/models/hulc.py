@@ -61,6 +61,13 @@ class ModalityBatch(NamedTuple):
     depth_gripper: Optional[Array] = None
     rgb_tactile: Optional[Array] = None
 
+    # Fields that describe the language half only when two modality batches
+    # are fused into one [vis; lang] 2B batch; every other field is per-frame
+    # data that both fusion paths (CombinedLoader.fuse_batch host-side, the
+    # in-graph concat in _fused_train_losses) row-stack. Owned by the schema
+    # so the two paths can never diverge when a field is added.
+    LANG_ONLY_FIELDS = ("lang", "use_for_aux_lang_loss", "idx")
+
     def rgb_obs(self) -> Dict[str, Array]:
         d = {"rgb_static": self.rgb_static}
         if self.rgb_gripper is not None:
@@ -332,12 +339,11 @@ class HulcModel(nn.Module):
                 a, c = getattr(vis, f), getattr(lang, f)
                 return jnp.concatenate([a, c], axis=0) if a is not None and c is not None else None
 
-            # same per-frame/lang-only field split as the loader-side
-            # CombinedLoader.fuse_batch — derived from _fields so a new data
-            # field can't be dropped from one path silently
-            lang_only = ("lang", "use_for_aux_lang_loss", "idx")
             fused = ModalityBatch(
-                **{f: None if f in lang_only else cat(f) for f in ModalityBatch._fields}
+                **{
+                    f: None if f in ModalityBatch.LANG_ONLY_FIELDS else cat(f)
+                    for f in ModalityBatch._fields
+                }
             )
         rng, k_plan = jax.random.split(rng)
         perceptual_emb, visual_emb = self.encode(fused, deterministic=False)
