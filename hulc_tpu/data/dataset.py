@@ -20,6 +20,7 @@ while keeping the last gripper command; absolute actions repeat.
 from __future__ import annotations
 
 import dataclasses
+import os
 import pathlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -105,17 +106,48 @@ class EpisodeStore:
 
     def _build_cache(self) -> None:
         n = self._max_frame - self._min_frame + 1
-        first = self._load_frame(self._min_frame)
-        cache = {
-            k: np.empty((n,) + first[k].shape, first[k].dtype) for k in self.keys
+        self._cache = self.load_frames(self._min_frame, n)
+
+    def load_frames(
+        self, start: int, count: int, workers: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        """Decode frames [start, start+count) into per-key stacked arrays,
+        npz files decoded across a thread pool (zlib inflate and file reads
+        release the GIL; each worker writes a disjoint row of the
+        preallocated output). This is the warm-up path — the reference's shm
+        warm-up is a single-threaded ~20-min pass over the 166 GB split
+        (README.md:85-86); here it scales with cores. workers=None picks
+        min(16, cpu_count); 1 skips the pool entirely.
+
+        Serves both cache builders: the RAM cache and
+        ShmEpisodeCache.populate_from_store.
+        """
+        if self._cache is not None:
+            return {k: v.copy() for k, v in self.get_window(start, count).items()}
+        first = self._load_frame(start)
+        out = {
+            k: np.empty((count,) + first[k].shape, first[k].dtype) for k in self.keys
         }
         for k in self.keys:
-            cache[k][0] = first[k]
-        for i in range(1, n):
-            frame = self._load_frame(self._min_frame + i)
+            out[k][0] = first[k]
+        if workers is None:
+            workers = min(16, os.cpu_count() or 1)
+
+        def load_into(i: int) -> None:
+            frame = self._load_frame(start + i)
             for k in self.keys:
-                cache[k][i] = frame[k]
-        self._cache = cache
+                out[k][i] = frame[k]
+
+        if workers <= 1 or count <= 2:
+            for i in range(1, count):
+                load_into(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as ex:
+                # consume the iterator so worker exceptions propagate
+                list(ex.map(load_into, range(1, count)))
+        return out
 
     def _attach_or_populate_shm(self) -> None:
         """Shared-memory cache (native ShmDataset equivalent): attach an

@@ -140,7 +140,9 @@ class ShmEpisodeCache:
             return other
         for off in range(0, n, chunk):
             count = min(chunk, n - off)
-            window = store.get_window(store._min_frame + off, count)
+            # pooled npz decode (EpisodeStore.load_frames) — the warm-up is
+            # decode-bound on real splits and scales with cores
+            window = store.load_frames(store._min_frame + off, count)
             for k, v in window.items():
                 cache.write(k, off, np.ascontiguousarray(v))
         cache.set_ready()

@@ -294,3 +294,19 @@ def test_fusion_disabled_multiprocess(fixture_root, monkeypatch):
     assert loader.fuse is False
     batch = loader._make()
     assert set(batch) == {"vis", "lang"}
+
+
+def test_load_frames_parallel_matches_serial(fixture_root):
+    """The pooled warm-up decoder (EpisodeStore.load_frames, used by the RAM
+    cache and shm populate) must produce byte-identical stacks to the serial
+    path at any worker count."""
+    from hulc_tpu.data.dataset import EpisodeStore
+
+    store = EpisodeStore(fixture_root / "training", cache="none")
+    a, b = store.episode_ranges[0]
+    count = min(24, b - a)
+    serial = store.load_frames(a, count, workers=1)
+    pooled = store.load_frames(a, count, workers=4)
+    assert set(serial) == set(pooled)
+    for k in serial:
+        np.testing.assert_array_equal(serial[k], pooled[k])
