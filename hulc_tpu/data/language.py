@@ -176,9 +176,11 @@ def load_annotation_pools(split: str = "training") -> Optional[Dict[str, List[st
         import yaml
 
         pools = yaml.safe_load(path.read_text())
+        if not isinstance(pools, dict) or not pools:
+            return None  # truncated/empty asset: fall back, don't crash
+        return {k: list(v) for k, v in pools.items()}
     except Exception:  # noqa: BLE001
         return None
-    return {k: list(v) for k, v in pools.items()}
 
 
 # Fallback instruction templates per task (fresh phrasings in the spirit of
@@ -232,6 +234,7 @@ def annotate_play_data(
     prior_steps_window: int = 64,
     stride: int = 16,
     seed: int = 0,
+    pool_split: str = "training",
 ) -> List[Tuple[str, str, Tuple[int, int]]]:
     """Detect task completions in teleoperated play data with the task
     oracle and emit (instruction, task, (start, end)) annotation triples.
@@ -249,7 +252,9 @@ def annotate_play_data(
 
     oracle = oracle or SceneObsTasks()
     rng = np.random.default_rng(seed)
-    pools = load_annotation_pools("training") or TASK_INSTRUCTIONS
+    # validation splits use CALVIN's 1-phrase-per-task validation pool so
+    # generated annotations match the published instruction distribution
+    pools = load_annotation_pools(pool_split) or TASK_INSTRUCTIONS
 
     def info_at(t: int) -> Dict:
         return {"scene_obs": store.get_window(t, 1)["scene_obs"][0]}
@@ -331,9 +336,14 @@ def main(argv=None):
         )
     else:
         store = EpisodeStore(split, keys=["scene_obs"], cache="ram")
+        pool_split = (
+            "validation"
+            if args.validation_embeddings or split.name.startswith("validation")
+            else "training"
+        )
         annotations = annotate_play_data(
             store, window=args.window, prior_steps_window=args.prior_steps_window,
-            stride=args.stride, seed=args.seed,
+            stride=args.stride, seed=args.seed, pool_split=pool_split,
         )
     write_lang_annotations(
         out_dir, annotations, embedder, validation_embeddings=args.validation_embeddings

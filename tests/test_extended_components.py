@@ -419,3 +419,21 @@ def test_vendored_annotation_pools():
         assert all(p and all(isinstance(s, str) for s in p) for p in pools.values())
     # the fallback bank covers the same tasks
     assert set(TASK_INSTRUCTIONS) == set(ALL_TASKS)
+
+
+def test_annotation_pool_split_selection(tmp_path):
+    """annotate_play_data(pool_split=...) samples from the matching vendored
+    pool: validation annotations come from the 1-phrase-per-task validation
+    pool, training ones from the 389-phrase training pool."""
+    from hulc_tpu.data.dataset import EpisodeStore
+    from hulc_tpu.data.fixtures import make_fixture_dataset
+    from hulc_tpu.data.language import annotate_play_data, load_annotation_pools
+
+    make_fixture_dataset(tmp_path, num_episodes=2, episode_len=48, small=True)
+    store = EpisodeStore(tmp_path / "training", keys=["scene_obs"], cache="ram")
+    val_pool = load_annotation_pools("validation")
+    train_pool = load_annotation_pools("training")
+    for split, pool in (("validation", val_pool), ("training", train_pool)):
+        anns = annotate_play_data(store, window=16, stride=8, pool_split=split)
+        for sentence, task, _ in anns:
+            assert sentence in pool.get(task, [task.replace("_", " ")]), (split, task)
