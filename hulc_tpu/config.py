@@ -54,9 +54,15 @@ class ProprioConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PerceptualEncoderConfig:
-    """Multi-camera fusion (reference concat_encoders.py)."""
+    """Multi-camera fusion (reference concat_encoders.py).
 
-    rgb_static: VisionEncoderConfig = VisionEncoderConfig()
+    ``rgb_static=None`` with every other camera off expresses the reference's
+    ``state_only`` observation space (conf/datamodule/observation_space/
+    state_only.yaml: no cameras, proprio passthrough only); ``proprio`` must
+    then be set.
+    """
+
+    rgb_static: Optional[VisionEncoderConfig] = VisionEncoderConfig()
     rgb_gripper: Optional[VisionEncoderConfig] = VisionEncoderConfig(
         kind="nature_cnn", input_size=84, shift_pad=4
     )
@@ -67,13 +73,20 @@ class PerceptualEncoderConfig:
     use_state_decoder: bool = False  # proprio-reconstruction aux head
 
     @property
+    def cameras(self) -> Tuple[Optional[VisionEncoderConfig], ...]:
+        return (self.rgb_static, self.rgb_gripper, self.depth_static,
+                self.depth_gripper, self.tactile)
+
+    @property
     def latent_size(self) -> int:
-        size = self.rgb_static.visual_features
-        for enc in (self.rgb_gripper, self.depth_static, self.depth_gripper, self.tactile):
-            if enc is not None:
-                size += enc.visual_features
+        size = sum(enc.visual_features for enc in self.cameras if enc is not None)
         if self.proprio is not None:
             size += self.proprio.n_state_obs
+        if size == 0:
+            raise ValueError(
+                "perceptual encoder needs at least one camera or proprio "
+                "(state_only = all cameras None + proprio set)"
+            )
         return size
 
 
@@ -269,7 +282,10 @@ def _debug(cfg: HulcConfig) -> HulcConfig:
             rgb_gripper=VisionEncoderConfig(
                 kind="nature_cnn", input_size=48, visual_features=16, shift_pad=2
             ),
-        ),
+        )
+        # camera-less (state_only) configs keep their perceptual encoder
+        if cfg.perceptual_encoder.rgb_static is not None
+        else cfg.perceptual_encoder,
         plan_proposal=PlanProposalConfig(hidden_size=64, latent_goal_features=8),
         plan_recognition=dataclasses.replace(
             cfg.plan_recognition,
@@ -352,6 +368,26 @@ def hulc_tactile_config(**overrides) -> HulcConfig:
     return dataclasses.replace(base, **overrides).resolve()
 
 
+def hulc_state_only_config(**overrides) -> HulcConfig:
+    """Proprio-only ablation (conf/datamodule/observation_space/state_only.yaml:
+    rgb_obs [] / depth_obs [] / state_obs [robot_obs]). No cameras at all —
+    perceptual_emb is the normalized 8-d proprio passthrough (reference
+    proprio_encoder.IdentityEncoder). No TCP-frame trick or gripper-cam slice
+    (both need cameras/rel-action semantics the reference only pairs with
+    visual obs spaces); the CLIP aux is off (seq_feat from proprio carries no
+    contrastable visual signal)."""
+    base = HulcConfig(
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=None,
+            rgb_gripper=None,
+            proprio=ProprioConfig(),
+        ),
+        action_decoder=ActionDecoderConfig(perceptual_emb_slice=None, gripper_control=False),
+        use_clip_auxiliary_loss=False,
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
 def hulc_deterministic_config(**overrides) -> HulcConfig:
     """Deterministic-decoder ablation (conf/model/action_decoder/deterministic.yaml)."""
     base = HulcConfig(action_decoder=ActionDecoderConfig(kind="deterministic"))
@@ -367,7 +403,9 @@ CONFIGS: Dict[str, Callable[[], HulcConfig]] = {
     "hulc_depth": hulc_depth_config,
     "hulc_tactile": hulc_tactile_config,
     "hulc_deterministic": hulc_deterministic_config,
+    "hulc_state_only": hulc_state_only_config,
     "hulc_debug": lambda: _debug(hulc_config()),
+    "state_only_debug": lambda: _debug(hulc_state_only_config()),
     "mcil_debug": lambda: _debug(mcil_config()),
     "gcbc_debug": lambda: _debug(gcbc_config()),
 }

@@ -100,7 +100,8 @@ class ModalityLoader:
             idx = np.asarray([s.lang_idx for s in samples], np.int64)
 
         return ModalityBatch(
-            rgb_static=stack("rgb_static"),  # (B, S, H, W, 3) uint8
+            # (B, S, H, W, 3) uint8; None for state_only (no cameras loaded)
+            rgb_static=stack("rgb_static") if "rgb_static" in self.store.keys else None,
             rgb_gripper=stack("rgb_gripper") if "rgb_gripper" in self.store.keys else None,
             robot_obs=robot_obs,
             actions=stack(action_key).astype(np.float32),
@@ -294,7 +295,9 @@ def make_loaders(
     import pathlib
 
     split_dir = pathlib.Path(root_data_dir) / split
-    keys = ["rgb_static", "actions", "rel_actions", "robot_obs", "scene_obs"]
+    keys = ["actions", "rel_actions", "robot_obs", "scene_obs"]
+    if cfg.perceptual_encoder.rgb_static is not None:
+        keys.insert(0, "rgb_static")
     if cfg.perceptual_encoder.rgb_gripper is not None:
         keys.insert(1, "rgb_gripper")
     if with_depth or cfg.perceptual_encoder.depth_static is not None:

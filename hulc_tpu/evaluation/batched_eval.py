@@ -63,13 +63,17 @@ class BatchedHulcPolicy:
         self._rng = jax.random.key(seed)
         model = self.model
 
+        def _prep(img):
+            return preprocess_rgb_seq(img, None, 0) if img is not None else None
+
         def _encode(params, rgb_static, rgb_gripper, rob_norm):
+            e = rob_norm.shape[0]
             batch = ModalityBatch(
-                rgb_static=preprocess_rgb_seq(rgb_static, None, 0),
-                rgb_gripper=preprocess_rgb_seq(rgb_gripper, None, 0),
+                rgb_static=_prep(rgb_static),
+                rgb_gripper=_prep(rgb_gripper),
                 robot_obs=rob_norm,
-                actions=jnp.zeros((rgb_static.shape[0], 1, 7)),
-                state_info_robot_obs=jnp.zeros((rgb_static.shape[0], 1, 15)),
+                actions=jnp.zeros((e, 1, 7)),
+                state_info_robot_obs=jnp.zeros((e, 1, 15)),
             )
             emb, _ = model.apply({"params": params}, batch, method=model.encode)
             return emb
@@ -91,7 +95,7 @@ class BatchedHulcPolicy:
             m = replan_mask[:, None]
             plan = jnp.where(m, new_plan, plan) if plan.shape[-1] else plan
             latent_goal = jnp.where(m, new_goal, latent_goal)
-            zero_carry = decoder_carry(self.cfg.action_decoder, rgb_static.shape[0])
+            zero_carry = decoder_carry(self.cfg.action_decoder, rob_norm.shape[0])
 
             def reset_leaf(z, c):
                 if c.ndim < 2:  # stateless mlp decoder carry, shape (0,)
@@ -118,8 +122,17 @@ class BatchedHulcPolicy:
 
     def step(self, obs_batch: List[Dict], lang_embs: np.ndarray, state, replan_mask: np.ndarray):
         """obs_batch: list of E env obs dicts. Returns (actions (E,7), state)."""
-        rgb_static = np.stack([o["rgb_obs"]["rgb_static"] for o in obs_batch])[:, None]
-        rgb_gripper = np.stack([o["rgb_obs"]["rgb_gripper"] for o in obs_batch])[:, None]
+        pe = self.cfg.perceptual_encoder
+        rgb_static = (
+            np.stack([o["rgb_obs"]["rgb_static"] for o in obs_batch])[:, None]
+            if pe.rgb_static is not None
+            else None
+        )
+        rgb_gripper = (
+            np.stack([o["rgb_obs"]["rgb_gripper"] for o in obs_batch])[:, None]
+            if pe.rgb_gripper is not None
+            else None
+        )
         rob_raw = np.stack([o["robot_obs"] for o in obs_batch]).astype(np.float32)[:, None]
         scaled = (
             (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)

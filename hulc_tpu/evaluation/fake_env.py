@@ -95,6 +95,9 @@ def fake_env_for(cfg) -> "FakeCalvinEnv":
     (the constructor defaults are debug-sized; full-size configs crashed
     the policy's encoder on mismatched flatten dims — caught round 2)."""
     pe = cfg.perceptual_encoder
-    static = pe.rgb_static.input_size if pe.rgb_static.kind != "clip" else 200
+    if pe.rgb_static is None:  # state_only: frames exist but the policy ignores them
+        static = 64
+    else:
+        static = pe.rgb_static.input_size if pe.rgb_static.kind != "clip" else 200
     gripper = pe.rgb_gripper.input_size if pe.rgb_gripper is not None else 84
     return FakeCalvinEnv(static_px=static, gripper_px=gripper)

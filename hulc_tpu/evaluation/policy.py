@@ -93,7 +93,7 @@ class HulcPolicy:
             return emb
 
         def _prep(img):
-            return preprocess_rgb_seq(img, None, 0)
+            return preprocess_rgb_seq(img, None, 0) if img is not None else None
 
         def _replan_lang(params, rng, rgb_static, rgb_gripper, robot_obs_norm, lang_emb):
             emb = _encode_frame(params, _prep(rgb_static), _prep(rgb_gripper), robot_obs_norm)
@@ -165,11 +165,15 @@ class HulcPolicy:
                 )
             else:
                 g_static, g_gripper, g_norm, _ = self._split_obs(goal)
+
+                def _cat_seq(a, b):
+                    return np.concatenate([a, b], axis=1) if a is not None else None
+
                 plan, latent_goal = self._replan_vision(
                     self.params,
                     k,
-                    np.concatenate([rgb_static, g_static], axis=1),
-                    np.concatenate([rgb_gripper, g_gripper], axis=1),
+                    _cat_seq(rgb_static, g_static),
+                    _cat_seq(rgb_gripper, g_gripper),
                     np.concatenate([rob_norm, g_norm], axis=1),
                 )
             carry = decoder_carry(self.cfg.action_decoder, 1)
@@ -186,8 +190,16 @@ class HulcPolicy:
     # ------------------------------------------------------------------
 
     def _split_obs(self, obs: Dict):
-        rgb_static = np.asarray(obs["rgb_obs"]["rgb_static"])[None, None]  # (1,1,H,W,3)
-        rgb_gripper = np.asarray(obs["rgb_obs"]["rgb_gripper"])[None, None]
+        # cameras the config doesn't consume stay on the host (state_only:
+        # no pixels cross the wire at all)
+        pe = self.cfg.perceptual_encoder
+        rgb = obs.get("rgb_obs", {})
+        rgb_static = (
+            np.asarray(rgb["rgb_static"])[None, None] if pe.rgb_static is not None else None
+        )  # (1,1,H,W,3)
+        rgb_gripper = (
+            np.asarray(rgb["rgb_gripper"])[None, None] if pe.rgb_gripper is not None else None
+        )
         rob_raw = np.asarray(obs["robot_obs"], np.float32).reshape(1, 1, 15)
         scaled = (
             (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)

@@ -21,7 +21,7 @@ def example_batch(cfg, batch_size=2, seq_len=8, lang=False, rng=None):
 
     n_state = pe.proprio.n_state_obs if pe.proprio else 8
     return ModalityBatch(
-        rgb_static=img(pe.rgb_static.input_size),
+        rgb_static=img(pe.rgb_static.input_size) if pe.rgb_static else None,
         rgb_gripper=img(pe.rgb_gripper.input_size) if pe.rgb_gripper else None,
         robot_obs=rng.normal(size=(b, s, n_state)).astype(np.float32),
         actions=np.tanh(rng.normal(size=(b, s, 7))).astype(np.float32),

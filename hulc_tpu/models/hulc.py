@@ -49,7 +49,7 @@ class ModalityBatch(NamedTuple):
     its inputs.
     """
 
-    rgb_static: Array  # (B, S, H, W, 3)
+    rgb_static: Optional[Array]  # (B, S, H, W, 3); None in state_only configs
     rgb_gripper: Optional[Array]  # (B, S, h, w, 3)
     robot_obs: Array  # (B, S, n_state) normalized proprio
     actions: Array  # (B, S, 7) rel or abs actions
@@ -69,7 +69,9 @@ class ModalityBatch(NamedTuple):
     LANG_ONLY_FIELDS = ("lang", "use_for_aux_lang_loss", "idx")
 
     def rgb_obs(self) -> Dict[str, Array]:
-        d = {"rgb_static": self.rgb_static}
+        d = {}
+        if self.rgb_static is not None:
+            d["rgb_static"] = self.rgb_static
         if self.rgb_gripper is not None:
             d["rgb_gripper"] = self.rgb_gripper
         if self.rgb_tactile is not None:
@@ -455,11 +457,16 @@ class HulcModel(nn.Module):
         cfg = self.cfg
         if "fused" in batch:  # loader-side fused schema: always the fused pass
             return self._fused_train_losses(rng, batch, kl_beta)
+        def _same_shape(a, b):
+            return (a is None and b is None) or (
+                a is not None and b is not None and a.shape == b.shape
+            )
+
         if (
             cfg.fuse_modalities
             and set(batch) == {"vis", "lang"}
             and batch["vis"].actions.shape == batch["lang"].actions.shape
-            and batch["vis"].rgb_static.shape == batch["lang"].rgb_static.shape
+            and _same_shape(batch["vis"].rgb_static, batch["lang"].rgb_static)
         ):
             return self._fused_train_losses(rng, batch, kl_beta)
         zeros = jnp.zeros((), jnp.float32)

@@ -46,7 +46,11 @@ class ConcatEncoders(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.rgb_static_encoder = make_vision_encoder(self.cfg.rgb_static, self.dtype, "rgb_static")
+        self.rgb_static_encoder = (
+            make_vision_encoder(self.cfg.rgb_static, self.dtype, "rgb_static")
+            if self.cfg.rgb_static
+            else None
+        )
         self.rgb_gripper_encoder = (
             make_vision_encoder(self.cfg.rgb_gripper, self.dtype, "rgb_gripper")
             if self.cfg.rgb_gripper
@@ -86,7 +90,9 @@ class ConcatEncoders(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Tuple[Array, Array]:
-        parts = [self._encode(self.rgb_static_encoder, rgb_obs["rgb_static"], deterministic)]
+        parts = []
+        if self.rgb_static_encoder is not None and "rgb_static" in rgb_obs:
+            parts.append(self._encode(self.rgb_static_encoder, rgb_obs["rgb_static"], deterministic))
         if self.depth_static_encoder is not None and "depth_static" in depth_obs:
             d = depth_obs["depth_static"]
             if d.ndim == 4:
@@ -102,6 +108,14 @@ class ConcatEncoders(nn.Module):
         if self.tactile_encoder is not None and "rgb_tactile" in rgb_obs:
             parts.append(self._encode(self.tactile_encoder, rgb_obs["rgb_tactile"], deterministic))
 
+        if not parts:
+            # state_only: no cameras at all — perceptual_emb is the proprio
+            # passthrough (reference observation_space/state_only.yaml)
+            if self.cfg.proprio is None or robot_obs is None:
+                raise ValueError("camera-less perceptual encoder needs proprio input")
+            b, s = robot_obs.shape[:2]
+            visual_emb = jnp.zeros((b, s, 0), self.dtype)
+            return robot_obs.astype(self.dtype), visual_emb
         visual_emb = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         if self.cfg.proprio is not None and robot_obs is not None:
             perceptual_emb = jnp.concatenate([visual_emb, robot_obs.astype(visual_emb.dtype)], -1)

@@ -88,9 +88,9 @@ def preprocess_modality(
     if train and rng is not None:
         k_static, k_gripper, k_tactile, k_ds, k_dg = jax.random.split(rng, 5)
     dtype = cfg.dtype
-    updates = {
-        "rgb_static": _prep_one(pe.rgb_static, batch.rgb_static, k_static, train, dtype)
-    }
+    updates = {}
+    if batch.rgb_static is not None and pe.rgb_static is not None:
+        updates["rgb_static"] = _prep_one(pe.rgb_static, batch.rgb_static, k_static, train, dtype)
     if batch.rgb_gripper is not None and pe.rgb_gripper is not None:
         updates["rgb_gripper"] = _prep_one(
             pe.rgb_gripper, batch.rgb_gripper, k_gripper, train, dtype

@@ -292,7 +292,8 @@ def test_config_registry_complete():
     from hulc_tpu.config import CONFIGS
 
     for name in ["hulc", "mcil", "gcbc", "hulc_clip_vision", "hulc_clip_lang",
-                 "hulc_depth", "hulc_tactile", "hulc_deterministic"]:
+                 "hulc_depth", "hulc_tactile", "hulc_deterministic",
+                 "hulc_state_only"]:
         cfg = CONFIGS[name]()
         assert cfg.action_decoder.perceptual_features > 0  # resolved
 
