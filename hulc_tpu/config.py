@@ -45,11 +45,21 @@ class VisionEncoderConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ProprioConfig:
-    """Proprioception passthrough (reference proprio_encoder.py)."""
+    """Proprioception passthrough (reference proprio_encoder.py).
+
+    ``keep_indices`` mirror the reference's proprioception_dims presets
+    (conf/datamodule/proprioception_dims/*): robot_no_joints ((0,7),(14,15)),
+    robot_full ((0,15),), robot_no_joints_no_gripper_width ((0,6),(14,15)).
+    ``include_scene=True`` expresses the robot_scene preset: the state vector
+    is [robot_obs(15); scene_obs(24)] (each normalized with its own dataset
+    statistics) BEFORE keep_indices slicing, e.g. keep_indices=((0, 39),),
+    n_state_obs=39.
+    """
 
     n_state_obs: int = 8
     keep_indices: Tuple[Tuple[int, int], ...] = ((0, 7), (14, 15))
     normalize: bool = True
+    include_scene: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

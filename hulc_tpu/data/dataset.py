@@ -37,6 +37,22 @@ class DatasetStatistics:
     robot_obs_std: np.ndarray
     act_min_bound: np.ndarray
     act_max_bound: np.ndarray
+    scene_obs_mean: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(24, np.float32)
+    )
+    scene_obs_std: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(24, np.float32)
+    )
+
+    @staticmethod
+    def _vector_stats(raw: dict, key: str, dim: int):
+        entry = raw.get(key)
+        if isinstance(entry, list) and entry and isinstance(entry[0], dict):
+            return (
+                np.asarray(entry[0].get("mean", np.zeros(dim)), np.float32),
+                np.asarray(entry[0].get("std", np.ones(dim)), np.float32),
+            )
+        return np.zeros(dim, np.float32), np.ones(dim, np.float32)
 
     @staticmethod
     def load(split_dir: pathlib.Path) -> "DatasetStatistics":
@@ -49,18 +65,15 @@ class DatasetStatistics:
                 np.full(7, 1.0, np.float32),
             )
         raw = yaml.safe_load(path.read_text())
-        rob = raw.get("robot_obs")
-        if isinstance(rob, list) and rob and isinstance(rob[0], dict):
-            mean = np.asarray(rob[0].get("mean", np.zeros(15)), np.float32)
-            std = np.asarray(rob[0].get("std", np.ones(15)), np.float32)
-        else:
-            mean = np.zeros(15, np.float32)
-            std = np.ones(15, np.float32)
+        mean, std = DatasetStatistics._vector_stats(raw, "robot_obs", 15)
+        scene_mean, scene_std = DatasetStatistics._vector_stats(raw, "scene_obs", 24)
         return DatasetStatistics(
             mean,
             std,
             np.asarray(raw.get("act_min_bound", [-1.0] * 7), np.float32),
             np.asarray(raw.get("act_max_bound", [1.0] * 7), np.float32),
+            scene_mean,
+            scene_std,
         )
 
 

@@ -83,8 +83,18 @@ class ModalityLoader:
         norm_robot = (raw_robot - stats.robot_obs_mean) / np.maximum(stats.robot_obs_std, 1e-6)
         proprio_cfg = cfg.perceptual_encoder.proprio
         if proprio_cfg is not None:
+            raw_state, norm_state = raw_robot, norm_robot
+            if proprio_cfg.include_scene:
+                # robot_scene proprioception: [robot_obs; scene_obs], each
+                # normalized with its own statistics.yaml entry
+                raw_scene = stack("scene_obs")
+                norm_scene = (raw_scene - stats.scene_obs_mean) / np.maximum(
+                    stats.scene_obs_std, 1e-6
+                )
+                raw_state = np.concatenate([raw_robot, raw_scene], axis=-1)
+                norm_state = np.concatenate([norm_robot, norm_scene], axis=-1)
             robot_obs = _keep_indices_slice(
-                norm_robot if proprio_cfg.normalize else raw_robot, proprio_cfg.keep_indices
+                norm_state if proprio_cfg.normalize else raw_state, proprio_cfg.keep_indices
             ).astype(np.float32)
         else:
             # reference default (robot_no_joints): 8 dims fed even when the

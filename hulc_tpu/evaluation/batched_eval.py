@@ -28,7 +28,7 @@ import numpy as np
 from hulc_tpu.config import HulcConfig
 from hulc_tpu.data.dataset import DatasetStatistics
 from hulc_tpu.evaluation.lh_eval import CHAIN_LEN, get_sequences
-from hulc_tpu.evaluation.policy import _keep_indices, proprio_settings
+from hulc_tpu.evaluation.policy import StateObsNormalizer
 from hulc_tpu.evaluation.tasks import SceneObsTasks
 from hulc_tpu.models import make_model
 from hulc_tpu.models.decoders import decoder_carry
@@ -55,10 +55,7 @@ class BatchedHulcPolicy:
         self.model = make_model(cfg)
         self.params = params
         self.num_envs = num_envs
-        stats = statistics
-        self._rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
-        self._rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
-        self._keep, self._normalize = proprio_settings(cfg)
+        self._state_norm = StateObsNormalizer(cfg, statistics)
         self.replan_freq = cfg.replan_freq
         self._rng = jax.random.key(seed)
         model = self.model
@@ -134,12 +131,12 @@ class BatchedHulcPolicy:
             else None
         )
         rob_raw = np.stack([o["robot_obs"] for o in obs_batch]).astype(np.float32)[:, None]
-        scaled = (
-            (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)
-            if self._normalize
-            else rob_raw
+        scene_raw = (
+            np.stack([o["scene_obs"] for o in obs_batch]).astype(np.float32)[:, None]
+            if self._state_norm.include_scene and "scene_obs" in obs_batch[0]
+            else None
         )
-        rob_norm = _keep_indices(scaled, self._keep).astype(np.float32)
+        rob_norm = self._state_norm(rob_raw, scene_raw)
         self._rng, k = jax.random.split(self._rng)
         plan, goal, carry = state
         actions, plan, goal, carry = self._step(

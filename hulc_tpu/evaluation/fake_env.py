@@ -87,6 +87,9 @@ class FakeCalvinEnv:
             },
             "depth_obs": {},
             "robot_obs": self.robot_obs.copy(),
+            # calvin_env exposes scene_obs in the state obs (used only by
+            # robot_scene proprioception configs; everyone else ignores it)
+            "scene_obs": self.scene_obs.copy(),
         }
 
 

@@ -55,6 +55,48 @@ def proprio_settings(cfg):
     return ((0, 7), (14, 15)), True
 
 
+class StateObsNormalizer:
+    """obs -> the proprio vector the training loader feeds (loader.py).
+
+    Handles every proprioception_dims preset: keep_indices slicing,
+    normalization with dataset statistics, and robot_scene
+    (``include_scene=True``: the state vector is [robot_obs(15);
+    scene_obs(24)], each normalized with its own statistics, BEFORE
+    slicing — the env obs must then carry ``scene_obs``).
+    """
+
+    def __init__(self, cfg, statistics):
+        p = cfg.perceptual_encoder.proprio
+        self.keep, self.normalize = proprio_settings(cfg)
+        self.include_scene = bool(p.include_scene) if p is not None else False
+        stats = statistics
+        self.rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
+        self.rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
+        self.scene_mean = (
+            getattr(stats, "scene_obs_mean", None) if stats else None
+        )
+        self.scene_std = getattr(stats, "scene_obs_std", None) if stats else None
+        if self.scene_mean is None:
+            self.scene_mean, self.scene_std = np.zeros(24, np.float32), np.ones(24, np.float32)
+
+    def __call__(self, rob_raw: np.ndarray, scene_raw=None) -> np.ndarray:
+        """rob_raw (..., 15), scene_raw (..., 24) -> kept proprio (..., k)."""
+
+        def norm(x, mean, std):
+            return (x - mean) / np.maximum(std, 1e-6) if self.normalize else x
+
+        state = norm(rob_raw, self.rob_mean, self.rob_std)
+        if self.include_scene:
+            if scene_raw is None:
+                raise ValueError(
+                    "proprio.include_scene=True needs scene_obs in the env obs"
+                )
+            state = np.concatenate(
+                [state, norm(scene_raw, self.scene_mean, self.scene_std)], axis=-1
+            )
+        return _keep_indices(state, self.keep).astype(np.float32)
+
+
 class HulcPolicy:
     """reset()/step(obs, goal) driving the jitted model."""
 
@@ -71,10 +113,7 @@ class HulcPolicy:
         self.params = params
         self.replan_freq = cfg.replan_freq
         self.lang_embeddings = lang_embeddings or {}
-        stats = statistics
-        self._rob_mean = stats.robot_obs_mean if stats else np.zeros(15, np.float32)
-        self._rob_std = stats.robot_obs_std if stats else np.ones(15, np.float32)
-        self._keep, self._normalize = proprio_settings(cfg)
+        self._state_norm = StateObsNormalizer(cfg, statistics)
         self._state: Optional[PolicyState] = None
         self._base_rng = jax.random.key(seed)
 
@@ -201,10 +240,10 @@ class HulcPolicy:
             np.asarray(rgb["rgb_gripper"])[None, None] if pe.rgb_gripper is not None else None
         )
         rob_raw = np.asarray(obs["robot_obs"], np.float32).reshape(1, 1, 15)
-        scaled = (
-            (rob_raw - self._rob_mean) / np.maximum(self._rob_std, 1e-6)
-            if self._normalize
-            else rob_raw
+        scene_raw = (
+            np.asarray(obs["scene_obs"], np.float32).reshape(1, 1, -1)
+            if self._state_norm.include_scene and "scene_obs" in obs
+            else None
         )
-        rob_norm = _keep_indices(scaled, self._keep)
-        return rgb_static, rgb_gripper, rob_norm.astype(np.float32), rob_raw
+        rob_norm = self._state_norm(rob_raw, scene_raw)
+        return rgb_static, rgb_gripper, rob_norm, rob_raw

@@ -310,3 +310,28 @@ def test_load_frames_parallel_matches_serial(fixture_root):
     assert set(serial) == set(pooled)
     for k in serial:
         np.testing.assert_array_equal(serial[k], pooled[k])
+
+
+def test_robot_scene_proprio(fixture_root):
+    """include_scene=True feeds [robot_obs(15); scene_obs(24)] (each
+    normalized with its own statistics) through keep_indices — the
+    reference's proprioception_dims/robot_scene.yaml preset."""
+    import dataclasses
+
+    from hulc_tpu.config import ProprioConfig
+
+    base = get_config("gcbc_debug")
+    pe = dataclasses.replace(
+        base.perceptual_encoder,
+        proprio=ProprioConfig(n_state_obs=39, keep_indices=((0, 39),), include_scene=True),
+    )
+    cfg = get_config("gcbc_debug", perceptual_encoder=pe)
+    assert cfg.perceptual_encoder.latent_size == base.perceptual_encoder.latent_size + 39
+
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+    mod = next(iter(loader))["vis"]
+    assert mod.robot_obs.shape[-1] == 39
+    # fixture statistics are mean 0 / std 1, so the normalized robot half
+    # must equal the raw state_info copy exactly
+    np.testing.assert_allclose(mod.robot_obs[..., :15], mod.state_info_robot_obs, rtol=1e-6)
+    assert np.isfinite(mod.robot_obs).all()

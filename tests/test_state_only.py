@@ -141,3 +141,35 @@ def test_state_only_batched_policy(cfg):
     assert actions.shape == (3, 7) and np.isfinite(actions).all()
     actions2, _ = pol.step([e.step(a) for e, a in zip(envs, actions)], lang, state, np.zeros(3, bool))
     assert actions2.shape == (3, 7)
+
+
+def test_robot_scene_policy_closed_loop():
+    """robot_scene proprioception end-to-end in the closed loop: the policy
+    pulls scene_obs from the env obs and normalizes it like the loader."""
+    import dataclasses
+
+    from hulc_tpu.config import ProprioConfig
+
+    base = get_config("gcbc_debug")
+    pe = dataclasses.replace(
+        base.perceptual_encoder,
+        proprio=ProprioConfig(n_state_obs=39, keep_indices=((0, 39),), include_scene=True),
+    )
+    cfg = get_config("gcbc_debug", perceptual_encoder=pe)
+    model = make_model(cfg)
+    params = init_params(
+        model, jax.random.key(0),
+        {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)},
+    )
+    policy = HulcPolicy(cfg, params, lang_embeddings={"open_drawer": np.zeros(384, np.float32)})
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    assert "scene_obs" in obs
+    policy.reset()
+    a = policy.step(obs, "open_drawer")
+    assert a.shape == (7,) and np.isfinite(a).all()
+    # missing scene_obs must fail loudly, not silently misfeed the encoder
+    obs_no_scene = {k: v for k, v in obs.items() if k != "scene_obs"}
+    policy.reset()
+    with pytest.raises(ValueError, match="scene_obs"):
+        policy.step(obs_no_scene, "open_drawer")
