@@ -53,18 +53,38 @@ def host_local_batch_to_global(batch, mesh: Mesh, axis_name: str = "data"):
     )
 
 
-def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
+def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data", seq_axis: Optional[str] = None):
     """Shard every array leaf's leading dim over the data axis.
 
     Single-process: a plain device_put of the full batch. Multi-process: the
     batch is treated as this host's local shard and stitched into a global
     array via :func:`host_local_batch_to_global` (device_put of a full global
     batch would be wrong — no host holds it).
+
+    seq_axis: sequence parallelism — ADDITIONALLY shard the window/time dim
+    (axis 1) of every per-frame leaf (ndim >= 3: images (B,S,H,W,C), depth
+    (B,S,H,W), proprio/actions (B,S,F)) over this mesh axis. Per-sequence
+    leaves (lang (B, 384), masks (B,)) stay data-sharded only. The dominant
+    per-frame conv FLOPs then split over data x seq; GSPMD all-gathers the
+    sequence exactly where it rejoins (plan-recognition attention, the
+    decoder scan). Single-process only (the DCN path keeps data sharding).
     """
     if jax.process_count() > 1:
         return host_local_batch_to_global(batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if seq_axis is None:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    n_seq = mesh.shape[seq_axis]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 3 and x.shape[1] % n_seq == 0:
+            spec = [None] * x.ndim
+            spec[0], spec[1] = axis_name, seq_axis
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate_tree(tree, mesh: Mesh):
@@ -115,18 +135,19 @@ def shard_params_fsdp(params, mesh: Mesh, axis_name: str = "data", min_size: int
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def make_mesh_2d(data: int, model: int) -> Mesh:
-    """('data', 'model') mesh for combined data + tensor parallelism.
+def make_mesh_2d(data: int, model: int, second_axis: str = "model") -> Mesh:
+    """('data', <second_axis>) mesh for combined data + tensor/sequence
+    parallelism.
 
-    The scaling-book recipe: annotate batch over 'data' and weight shards
-    over 'model', jit the step, and XLA's SPMD partitioner inserts the
-    all-gathers/reduce-scatters/psums over ICI.
+    The scaling-book recipe: annotate batch over 'data' and weight (tp) or
+    window-dim (sp) shards over the second axis, jit the step, and XLA's
+    SPMD partitioner inserts the all-gathers/reduce-scatters/psums over ICI.
     """
     devices = jax.devices()
     need = data * model
     if len(devices) < need:
         raise ValueError(f"mesh {data}x{model} needs {need} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:need]).reshape(data, model), ("data", "model"))
+    return Mesh(np.asarray(devices[:need]).reshape(data, model), ("data", second_axis))
 
 
 def tp_param_sharding(

@@ -74,6 +74,12 @@ def main(argv=None):
         "model mesh, Megatron-style column-partitioned kernels; composes "
         "with --fsdp)",
     )
+    p.add_argument(
+        "--sp", type=int, default=1,
+        help="sequence parallelism: size of the 'seq' mesh axis (2D data x "
+        "seq mesh; window/time dim of per-frame fields sharded, GSPMD "
+        "gathers at the sequence joins; exclusive with --tp)",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50, help="log every N loader batches")
@@ -147,6 +153,7 @@ def main(argv=None):
         checkpoint_every_epochs=args.checkpoint_every,
         fsdp=args.fsdp,
         tp=args.tp,
+        sp=args.sp,
         optimizer=args.optimizer,
     )
     trainer = Trainer(cfg, tcfg)

@@ -76,6 +76,15 @@ class TrainerConfig:
     # and XLA's SPMD partitioner propagates activation shardings + inserts
     # the collectives. Combine with fsdp=True for ZeRO over the data axis.
     tp: int = 1
+    # sequence parallelism: size of the 'seq' mesh axis (1 = off). With
+    # sp > 1 the mesh is 2D (data x seq) and the window/time dim of every
+    # per-frame batch field is sharded over 'seq' — the dominant per-frame
+    # conv FLOPs split S-ways; GSPMD all-gathers the sequence where it
+    # rejoins (plan-recognition attention, decoder scan). Params replicated.
+    # Mutually exclusive with tp (both own the second mesh axis); single
+    # process only. At HULC's S<=32 this is a scaling demonstration, not a
+    # production need (SURVEY.md §5 long-context note).
+    sp: int = 1
     # optimizer family (reference conf/model/optimizer/*.yaml): adam
     # (default), adamw (weight_decay 1e-6), sgd (momentum 0.9)
     optimizer: str = "adam"
@@ -124,15 +133,20 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.model: HulcModel = make_model(cfg)
-        if tcfg.tp > 1:
+        if tcfg.tp > 1 and tcfg.sp > 1:
+            raise ValueError("tp and sp are mutually exclusive (both use the 2nd mesh axis)")
+        if tcfg.tp > 1 or tcfg.sp > 1:
             from hulc_tpu.parallel.mesh import make_mesh_2d
 
+            par = max(tcfg.tp, tcfg.sp)
             n_total = tcfg.num_devices or len(jax.devices())
-            if n_total % tcfg.tp:
-                raise ValueError(f"num_devices {n_total} not divisible by tp={tcfg.tp}")
-            self.mesh = make_mesh_2d(n_total // tcfg.tp, tcfg.tp)
+            if n_total % par:
+                raise ValueError(f"num_devices {n_total} not divisible by tp/sp={par}")
+            axis = "model" if tcfg.tp > 1 else "seq"
+            self.mesh = make_mesh_2d(n_total // par, par, second_axis=axis)
         else:
             self.mesh = make_mesh(tcfg.num_devices)
+        self._seq_axis = "seq" if tcfg.sp > 1 else None
         self.logger = MetricLogger(tcfg.run_dir)
         self._train_step = None
         self._val_step = None
@@ -227,10 +241,11 @@ class Trainer:
             return new_state, losses
 
         donate = (0,) if self.tcfg.donate_state else ()
-        if self.tcfg.fsdp or self.tcfg.tp > 1:
+        if self.tcfg.fsdp or self.tcfg.tp > 1 or self.tcfg.sp > 1:
             # shardings inferred from input placement: params stay ZeRO-3 /
-            # tensor-parallel sharded; XLA propagates activation shardings
-            # and inserts the all-gather/reduce-scatter/psum collectives
+            # tensor-parallel sharded (sp: batch time-dim sharded); XLA
+            # propagates activation shardings and inserts the
+            # all-gather/reduce-scatter/psum collectives
             return jax.jit(train_step, donate_argnums=donate)
         return jax.jit(
             train_step,
@@ -255,7 +270,7 @@ class Trainer:
             # drop non-scalar outputs (sampled plans) for logging reduction
             return {k: v for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
 
-        if self.tcfg.fsdp or self.tcfg.tp > 1:
+        if self.tcfg.fsdp or self.tcfg.tp > 1 or self.tcfg.sp > 1:
             return jax.jit(val_step)  # shardings inferred from placement
         return jax.jit(
             val_step,
@@ -314,7 +329,7 @@ class Trainer:
             t_epoch = time.time()
             seqs = 0
             for i, raw_batch in enumerate(train_loader):
-                raw_batch = shard_batch_tree(raw_batch, self.mesh)
+                raw_batch = shard_batch_tree(raw_batch, self.mesh, seq_axis=self._seq_axis)
                 for _ in range(max(1, tcfg.echo_factor)):
                     if tcfg.profile_start is not None and total_steps == tcfg.profile_start:
                         jax.profiler.start_trace(str(pathlib.Path(tcfg.run_dir) / "profile"))
@@ -403,7 +418,7 @@ class Trainer:
         for i, raw_batch in enumerate(val_loader):
             if i >= max_batches:
                 break
-            raw_batch = shard_batch_tree(raw_batch, self.mesh)
+            raw_batch = shard_batch_tree(raw_batch, self.mesh, seq_axis=self._seq_axis)
             metrics = jax.device_get(
                 self._val_step(state.params, raw_batch, jax.random.fold_in(rng, i), kl_beta)
             )

@@ -377,3 +377,44 @@ def test_optimizer_variants_step(opt):
     last = float(losses["total_loss"])
     assert np.isfinite(last)
     assert last < first, (opt, first, last)
+
+
+def test_sp_sequence_parallel_step():
+    """sp=4 over a 2x4 (data x seq) mesh: the window/time dim of every
+    per-frame batch field is sharded over 'seq' (the per-frame conv FLOPs
+    split S-ways; GSPMD gathers the sequence at the plan-recognition /
+    decoder joins), and the loss matches the data-parallel run bit-for-bit
+    up to reduction order."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 8, 8)
+
+    tcfg = TrainerConfig(run_dir="/tmp/na_sp", num_devices=8, donate_state=False, sp=4)
+    tr = Trainer(cfg, tcfg)
+    assert tr.mesh.shape == {"data": 2, "seq": 4}
+    state = tr.init_state(raw, steps_per_epoch=1)
+
+    sharded = shard_batch_tree(raw, tr.mesh, seq_axis="seq")
+    # per-frame leaves carry ('data', 'seq'); per-sequence leaves only 'data'
+    assert sharded["vis"].rgb_static.sharding.spec[:2] == ("data", "seq")
+    assert sharded["vis"].actions.sharding.spec[:2] == ("data", "seq")
+    assert sharded["lang"].lang.sharding.spec == ("data",)
+
+    step = tr.make_train_step()
+    state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
+    sp_loss = float(losses["total_loss"])
+    assert np.isfinite(sp_loss)
+
+    tcfg2 = TrainerConfig(run_dir="/tmp/na_sp_ref", num_devices=8, donate_state=False)
+    tr2 = Trainer(cfg, tcfg2)
+    state2 = tr2.init_state(raw, steps_per_epoch=1)
+    step2 = tr2.make_train_step()
+    _, losses2 = step2(state2, shard_batch_tree(raw, tr2.mesh), jax.random.key(0), jnp.asarray(0.01))
+    np.testing.assert_allclose(sp_loss, float(losses2["total_loss"]), rtol=1e-4)
+
+
+def test_tp_sp_mutually_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(get_config("gcbc_debug"), TrainerConfig(num_devices=8, tp=2, sp=2))
