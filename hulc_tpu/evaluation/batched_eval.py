@@ -36,6 +36,60 @@ from hulc_tpu.models.hulc import ModalityBatch
 from hulc_tpu.ops.image_ops import preprocess_rgb_seq
 
 
+def build_batched_step(model, cfg: HulcConfig):
+    """The lockstep batched policy step as a pure function, shared by
+    :class:`BatchedHulcPolicy` and the serving exporter (serving/export.py).
+    """
+
+    def _prep(img):
+        return preprocess_rgb_seq(img, None, 0) if img is not None else None
+
+    def _encode(params, rgb_static, rgb_gripper, rob_norm):
+        e = rob_norm.shape[0]
+        batch = ModalityBatch(
+            rgb_static=_prep(rgb_static),
+            rgb_gripper=_prep(rgb_gripper),
+            robot_obs=rob_norm,
+            actions=jnp.zeros((e, 1, 7)),
+            state_info_robot_obs=jnp.zeros((e, 1, 15)),
+        )
+        emb, _ = model.apply({"params": params}, batch, method=model.encode)
+        return emb
+
+    def step_fn(params, rng, rgb_static, rgb_gripper, rob_norm, rob_raw,
+                lang_emb, plan, latent_goal, carry, replan_mask):
+        """One lockstep batched policy step.
+
+        replan_mask: (E,) bool — lanes that (re)plan this step. New plan
+        and goal are computed for ALL lanes (batched) and merged in via
+        where; carries of replanning lanes reset to zero.
+        """
+        k_plan, k_act = jax.random.split(rng)
+        emb = _encode(params, rgb_static, rgb_gripper, rob_norm)  # (E, 1, F)
+        new_goal = model.apply({"params": params}, lang_emb, method=model.encode_language_goal)
+        new_plan = model.apply(
+            {"params": params}, k_plan, emb, new_goal, method=model.propose_plan
+        )
+        m = replan_mask[:, None]
+        plan = jnp.where(m, new_plan, plan) if plan.shape[-1] else plan
+        latent_goal = jnp.where(m, new_goal, latent_goal)
+        zero_carry = decoder_carry(cfg.action_decoder, rob_norm.shape[0])
+
+        def reset_leaf(z, c):
+            if c.ndim < 2:  # stateless mlp decoder carry, shape (0,)
+                return c
+            return jnp.where(replan_mask.reshape((1, -1) + (1,) * (c.ndim - 2)), z, c)
+
+        carry = jax.tree.map(reset_leaf, zero_carry, carry)
+        action, carry = model.apply(
+            {"params": params}, k_act, plan, emb, latent_goal, rob_raw, carry,
+            method=model.decoder_act,
+        )
+        return action[:, 0], plan, latent_goal, carry
+
+    return step_fn
+
+
 class BatchedHulcPolicy:
     """Vectorized reset/step over E concurrent rollouts.
 
@@ -58,55 +112,7 @@ class BatchedHulcPolicy:
         self._state_norm = StateObsNormalizer(cfg, statistics)
         self.replan_freq = cfg.replan_freq
         self._rng = jax.random.key(seed)
-        model = self.model
-
-        def _prep(img):
-            return preprocess_rgb_seq(img, None, 0) if img is not None else None
-
-        def _encode(params, rgb_static, rgb_gripper, rob_norm):
-            e = rob_norm.shape[0]
-            batch = ModalityBatch(
-                rgb_static=_prep(rgb_static),
-                rgb_gripper=_prep(rgb_gripper),
-                robot_obs=rob_norm,
-                actions=jnp.zeros((e, 1, 7)),
-                state_info_robot_obs=jnp.zeros((e, 1, 15)),
-            )
-            emb, _ = model.apply({"params": params}, batch, method=model.encode)
-            return emb
-
-        def step_fn(params, rng, rgb_static, rgb_gripper, rob_norm, rob_raw,
-                    lang_emb, plan, latent_goal, carry, replan_mask):
-            """One lockstep batched policy step.
-
-            replan_mask: (E,) bool — lanes that (re)plan this step. New plan
-            and goal are computed for ALL lanes (batched) and merged in via
-            where; carries of replanning lanes reset to zero.
-            """
-            k_plan, k_act = jax.random.split(rng)
-            emb = _encode(params, rgb_static, rgb_gripper, rob_norm)  # (E, 1, F)
-            new_goal = model.apply({"params": params}, lang_emb, method=model.encode_language_goal)
-            new_plan = model.apply(
-                {"params": params}, k_plan, emb, new_goal, method=model.propose_plan
-            )
-            m = replan_mask[:, None]
-            plan = jnp.where(m, new_plan, plan) if plan.shape[-1] else plan
-            latent_goal = jnp.where(m, new_goal, latent_goal)
-            zero_carry = decoder_carry(self.cfg.action_decoder, rob_norm.shape[0])
-
-            def reset_leaf(z, c):
-                if c.ndim < 2:  # stateless mlp decoder carry, shape (0,)
-                    return c
-                return jnp.where(replan_mask.reshape((1, -1) + (1,) * (c.ndim - 2)), z, c)
-
-            carry = jax.tree.map(reset_leaf, zero_carry, carry)
-            action, carry = model.apply(
-                {"params": params}, k_act, plan, emb, latent_goal, rob_raw, carry,
-                method=model.decoder_act,
-            )
-            return action[:, 0], plan, latent_goal, carry
-
-        self._step = jax.jit(step_fn)
+        self._step = jax.jit(build_batched_step(self.model, cfg))
 
     def initial_state(self):
         e = self.num_envs

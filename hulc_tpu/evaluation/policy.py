@@ -97,6 +97,69 @@ class StateObsNormalizer:
         return _keep_indices(state, self.keep).astype(np.float32)
 
 
+def build_policy_fns(model, cfg: HulcConfig):
+    """Pure closed-loop device functions, shared by :class:`HulcPolicy` and
+    the serving exporter (serving/export.py).
+
+    All three are batch-size parametric on the leading dim of
+    ``robot_obs_norm`` (single-lane inference passes 1) and take params as
+    the first argument so they jit/export cleanly.
+    """
+
+    def _prep(img):
+        return preprocess_rgb_seq(img, None, 0) if img is not None else None
+
+    def _encode_frame(params, rgb_static, rgb_gripper, robot_obs_norm):
+        """(E, S, ...) preprocessed frames -> perceptual_emb (E, S, F)."""
+        e, s = robot_obs_norm.shape[:2]
+        batch = ModalityBatch(
+            rgb_static=rgb_static,
+            rgb_gripper=rgb_gripper,
+            robot_obs=robot_obs_norm,
+            actions=jnp.zeros((e, s, 7)),
+            state_info_robot_obs=jnp.zeros((e, s, 15)),
+        )
+        emb, _ = model.apply({"params": params}, batch, method=model.encode)
+        return emb
+
+    def replan_lang(params, rng, rgb_static, rgb_gripper, robot_obs_norm, lang_emb):
+        emb = _encode_frame(params, _prep(rgb_static), _prep(rgb_gripper), robot_obs_norm)
+        latent_goal = model.apply(
+            {"params": params}, lang_emb, method=model.encode_language_goal
+        )
+        plan = model.apply(
+            {"params": params}, rng, emb, latent_goal, method=model.propose_plan
+        )
+        return plan, latent_goal
+
+    def replan_vision(params, rng, rgb_static2, rgb_gripper2, robot_obs_norm2):
+        """Current + goal frame stacked on the seq axis (hulc.py:910-935)."""
+        emb = _encode_frame(params, _prep(rgb_static2), _prep(rgb_gripper2), robot_obs_norm2)
+        latent_goal = model.apply(
+            {"params": params}, emb[:, -1], method=model.encode_visual_goal
+        )
+        plan = model.apply(
+            {"params": params}, rng, emb[:, :1], latent_goal, method=model.propose_plan
+        )
+        return plan, latent_goal
+
+    def act(params, rng, plan, latent_goal, rgb_static, rgb_gripper, robot_obs_norm, robot_obs_raw, carry):
+        emb = _encode_frame(params, _prep(rgb_static), _prep(rgb_gripper), robot_obs_norm)
+        action, new_carry = model.apply(
+            {"params": params},
+            rng,
+            plan,
+            emb,
+            latent_goal,
+            robot_obs_raw,
+            carry,
+            method=model.decoder_act,
+        )
+        return action[:, 0], new_carry
+
+    return replan_lang, replan_vision, act
+
+
 class HulcPolicy:
     """reset()/step(obs, goal) driving the jitted model."""
 
@@ -117,63 +180,10 @@ class HulcPolicy:
         self._state: Optional[PolicyState] = None
         self._base_rng = jax.random.key(seed)
 
-        model = self.model
-
-        def _encode_frame(params, rgb_static, rgb_gripper, robot_obs_norm):
-            """(1, 1, ...) preprocessed frame -> perceptual_emb (1, 1, F)."""
-            batch = ModalityBatch(
-                rgb_static=rgb_static,
-                rgb_gripper=rgb_gripper,
-                robot_obs=robot_obs_norm,
-                actions=jnp.zeros((1, 1, 7)),
-                state_info_robot_obs=jnp.zeros((1, 1, 15)),
-            )
-            emb, _ = model.apply({"params": params}, batch, method=model.encode)
-            return emb
-
-        def _prep(img):
-            return preprocess_rgb_seq(img, None, 0) if img is not None else None
-
-        def _replan_lang(params, rng, rgb_static, rgb_gripper, robot_obs_norm, lang_emb):
-            emb = _encode_frame(params, _prep(rgb_static), _prep(rgb_gripper), robot_obs_norm)
-            latent_goal = model.apply(
-                {"params": params}, lang_emb, method=model.encode_language_goal
-            )
-            plan = model.apply(
-                {"params": params}, rng, emb, latent_goal, method=model.propose_plan
-            )
-            return plan, latent_goal
-
-        def _replan_vision(
-            params, rng, rgb_static2, rgb_gripper2, robot_obs_norm2
-        ):
-            """Current + goal frame stacked on the seq axis (hulc.py:910-935)."""
-            emb = _encode_frame(params, _prep(rgb_static2), _prep(rgb_gripper2), robot_obs_norm2)
-            latent_goal = model.apply(
-                {"params": params}, emb[:, -1], method=model.encode_visual_goal
-            )
-            plan = model.apply(
-                {"params": params}, rng, emb[:, :1], latent_goal, method=model.propose_plan
-            )
-            return plan, latent_goal
-
-        def _act(params, rng, plan, latent_goal, rgb_static, rgb_gripper, robot_obs_norm, robot_obs_raw, carry):
-            emb = _encode_frame(params, _prep(rgb_static), _prep(rgb_gripper), robot_obs_norm)
-            action, new_carry = model.apply(
-                {"params": params},
-                rng,
-                plan,
-                emb,
-                latent_goal,
-                robot_obs_raw,
-                carry,
-                method=model.decoder_act,
-            )
-            return action[:, 0], new_carry
-
-        self._replan_lang = jax.jit(_replan_lang)
-        self._replan_vision = jax.jit(_replan_vision)
-        self._act = jax.jit(_act)
+        replan_lang, replan_vision, act = build_policy_fns(self.model, cfg)
+        self._replan_lang = jax.jit(replan_lang)
+        self._replan_vision = jax.jit(replan_vision)
+        self._act = jax.jit(act)
 
     # ------------------------------------------------------------------
     # CalvinBaseModel contract

@@ -1,0 +1,108 @@
+"""Serving artifacts: export -> model-code-free reload -> action parity.
+
+The exported StableHLO policy must reproduce the live HulcPolicy /
+BatchedHulcPolicy action-for-action (same seed, same obs stream), including
+across replan boundaries, for both language and visual goals.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hulc_tpu.config import get_config
+from hulc_tpu.evaluation.batched_eval import BatchedHulcPolicy
+from hulc_tpu.evaluation.fake_env import fake_env_for
+from hulc_tpu.evaluation.policy import HulcPolicy
+from hulc_tpu.models import example_batch, init_params, make_model
+from hulc_tpu.serving import ServedBatchedPolicy, ServedPolicy, export_policy
+from hulc_tpu.serving.export import flatten_params, unflatten_params
+
+
+@pytest.fixture(scope="module")
+def debug_setup(tmp_path_factory):
+    cfg = get_config("hulc_debug", replan_freq=3)
+    model = make_model(cfg)
+    batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
+    params = init_params(model, jax.random.key(0), batch)
+    lang_embeddings = {"push_red_block_right": np.random.default_rng(1).normal(size=cfg.lang_dim).astype(np.float32)}
+    art_dir = tmp_path_factory.mktemp("artifact")
+    export_policy(cfg, params, art_dir, lang_embeddings=lang_embeddings, lanes=3)
+    return cfg, params, lang_embeddings, art_dir
+
+
+def test_params_roundtrip(debug_setup):
+    _, params, _, _ = debug_setup
+    flat = flatten_params(params)
+    rebuilt = unflatten_params(flat)
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rebuilt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_artifact_files(debug_setup):
+    _, _, _, art_dir = debug_setup
+    names = {p.name for p in art_dir.iterdir()}
+    assert {"meta.json", "params.npz", "replan_lang.jaxexp", "replan_vision.jaxexp",
+            "act.jaxexp", "step_batched.jaxexp", "lang_embeddings.npy"} <= names
+
+
+def test_served_policy_matches_live_lang_goal(debug_setup):
+    cfg, params, lang_embeddings, art_dir = debug_setup
+    live = HulcPolicy(cfg, params, lang_embeddings=lang_embeddings, seed=7)
+    served = ServedPolicy(art_dir, seed=7)
+    assert served.lang_embeddings  # bundled in the artifact
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    live.reset()
+    served.reset()
+    # 7 steps with replan_freq=3 crosses two replan boundaries
+    for t in range(7):
+        a_live = live.step(obs, "push_red_block_right")
+        a_served = served.step(obs, "push_red_block_right")
+        np.testing.assert_allclose(a_served, a_live, rtol=1e-5, atol=1e-5)
+        obs = env.step(a_live)
+
+
+def test_served_policy_matches_live_vision_goal(debug_setup):
+    cfg, params, lang_embeddings, art_dir = debug_setup
+    live = HulcPolicy(cfg, params, lang_embeddings=lang_embeddings, seed=3)
+    served = ServedPolicy(art_dir, seed=3)
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    for _ in range(5):
+        env.step(np.asarray([0.5, 0, 0, 0, 0, 0, 1.0]))
+    goal = env.get_obs()
+    live.reset()
+    served.reset()
+    for t in range(4):
+        a_live = live.step(obs, goal)
+        a_served = served.step(obs, goal)
+        np.testing.assert_allclose(a_served, a_live, rtol=1e-5, atol=1e-5)
+        obs = env.step(a_live)
+
+
+def test_served_batched_matches_live(debug_setup):
+    cfg, params, lang_embeddings, art_dir = debug_setup
+    lanes = 3
+    live = BatchedHulcPolicy(cfg, params, lanes, seed=11)
+    served = ServedBatchedPolicy(art_dir, seed=11)
+    assert served.num_envs == lanes
+    envs = [fake_env_for(cfg) for _ in range(lanes)]
+    obs_batch = [e.reset() for e in envs]
+    embs = np.stack([lang_embeddings["push_red_block_right"]] * lanes)
+    s_live, s_served = live.initial_state(), served.initial_state()
+    replan = np.array([True, True, True])
+    for t in range(4):
+        a_live, s_live = live.step(obs_batch, embs, s_live, replan)
+        a_served, s_served = served.step(obs_batch, embs, s_served, replan)
+        np.testing.assert_allclose(a_served, a_live, rtol=1e-5, atol=1e-5)
+        obs_batch = [e.step(a) for e, a in zip(envs, a_live)]
+        replan = np.array([t % 2 == 0, False, t == 1])  # mixed per-lane replans
+
+
+def test_served_policy_errors_without_batched_export(debug_setup, tmp_path):
+    cfg, params, _, _ = debug_setup
+    out = tmp_path / "nolanes"
+    export_policy(cfg, params, out, lanes=0)
+    with pytest.raises(ValueError, match="no batched step"):
+        ServedBatchedPolicy(out)
