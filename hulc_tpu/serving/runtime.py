@@ -28,13 +28,26 @@ import numpy as np
 from hulc_tpu.serving.export import unflatten_params
 
 
+def _commit(x):
+    """Commit to the default device (explicit device => committed array).
+
+    Committed arrays keep the deserialized call's argument signature
+    identical between the first step (fresh zero state) and steady state
+    (state = previous jit output, which is committed): an uncommitted
+    jnp.zeros carry makes jit(exp.call) recompile the entire module on the
+    second step when the carry's sharding flips Unspecified -> committed
+    (~5 s/recompile at debug size, diagnosed via jax_log_compiles).
+    """
+    return jax.device_put(x, jax.local_devices()[0])
+
+
 def _zero_carry(spec: Dict, batch: int):
     if spec["rnn_cell"] == "mlp":
-        return jnp.zeros((0,), jnp.float32)
+        return _commit(jnp.zeros((0,), jnp.float32))
     shape = (spec["num_layers"], batch, spec["hidden_size"])
-    h = jnp.zeros(shape, jnp.float32)
+    h = _commit(jnp.zeros(shape, jnp.float32))
     if spec["rnn_cell"] == "lstm":
-        return (h, jnp.zeros(shape, jnp.float32))
+        return (h, _commit(jnp.zeros(shape, jnp.float32)))
     return h
 
 
@@ -200,8 +213,8 @@ class ServedBatchedPolicy:
     def initial_state(self):
         e = self.num_envs
         return (
-            jnp.zeros((e, self.meta["plan_dim"]), jnp.float32),
-            jnp.zeros((e, self.meta["latent_goal_features"]), jnp.float32),
+            _commit(jnp.zeros((e, self.meta["plan_dim"]), jnp.float32)),
+            _commit(jnp.zeros((e, self.meta["latent_goal_features"]), jnp.float32)),
             _zero_carry(self.meta["carry"], e),
         )
 

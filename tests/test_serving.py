@@ -100,6 +100,30 @@ def test_served_batched_matches_live(debug_setup):
         replan = np.array([t % 2 == 0, False, t == 1])  # mixed per-lane replans
 
 
+def test_served_policy_compiles_once(debug_setup):
+    """Steady-state serving must not retrace/recompile: the zero carry and
+    batched zero state are committed (runtime._commit) so the deserialized
+    call's argument signature is identical on every step. An uncommitted
+    zero carry recompiles the whole module on step 2 (~5 s at debug size)."""
+    cfg, params, lang_embeddings, art_dir = debug_setup
+    served = ServedPolicy(art_dir, seed=0)
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    served.reset()
+    for _ in range(5):  # crosses a replan boundary (replan_freq=3)
+        obs = env.step(served.step(obs, "push_red_block_right"))
+    assert served._art.fn("act")._cache_size() == 1
+
+    batched = ServedBatchedPolicy(art_dir, seed=0)
+    obs_batch = [obs] * batched.num_envs
+    embs = np.stack([lang_embeddings["push_red_block_right"]] * batched.num_envs)
+    state = batched.initial_state()
+    replan = np.ones((batched.num_envs,), bool)
+    for t in range(3):
+        _, state = batched.step(obs_batch, embs, state, replan if t == 0 else ~replan)
+    assert batched._step._cache_size() == 1
+
+
 def test_served_policy_errors_without_batched_export(debug_setup, tmp_path):
     cfg, params, _, _ = debug_setup
     out = tmp_path / "nolanes"
