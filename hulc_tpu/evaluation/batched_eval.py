@@ -199,6 +199,11 @@ def evaluate_policy_batched(
     # no lane should outnumber the work: idle lanes would never receive an
     # observation (and a bigger policy batch is pure waste)
     num_envs = min(num_envs, len(sequences))
+    # a pre-built policy's compiled step is batch-size-specialized (and a
+    # serving.ServedBatchedPolicy's exported step is FIXED at lanes=E) —
+    # never drive more lanes than it was built for
+    if policy is not None:
+        num_envs = min(num_envs, policy.num_envs)
     if envs is None:
         envs = [env_factory() for _ in range(num_envs)]
     else:
@@ -206,7 +211,7 @@ def evaluate_policy_batched(
         num_envs = len(envs)
     if policy is None:
         policy = BatchedHulcPolicy(cfg, params, num_envs, statistics, seed)
-    else:
+    elif params is not None:
         policy.params = params  # reuse compiled step across checkpoints
     state = policy.initial_state()
 

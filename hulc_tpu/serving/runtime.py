@@ -108,6 +108,21 @@ class _Artifact:
             )
         return self._fns[name]
 
+    def zero_obs(self, batch: int = 1) -> Dict:
+        """A zero observation matching the artifact's camera/proprio spec
+        (for warm-up compiles before serving traffic)."""
+        cams = self.meta["cameras"]
+        obs: Dict = {"robot_obs": np.zeros((15,), np.float32), "rgb_obs": {}}
+        if cams["rgb_static"] is not None:
+            px = cams["rgb_static"]
+            obs["rgb_obs"]["rgb_static"] = np.zeros((px, px, 3), np.uint8)
+        if cams["rgb_gripper"] is not None:
+            px = cams["rgb_gripper"]
+            obs["rgb_obs"]["rgb_gripper"] = np.zeros((px, px, 3), np.uint8)
+        if self.norm.include_scene:
+            obs["scene_obs"] = np.zeros_like(self.norm.scene_mean)
+        return obs
+
     def split_obs(self, obs: Dict):
         cams = self.meta["cameras"]
         rgb = obs.get("rgb_obs", {})
@@ -148,6 +163,17 @@ class ServedPolicy:
     def reset(self) -> None:
         self._plan = None
         self._step_count = 0
+
+    def warmup(self) -> None:
+        """Compile every exported path (lang replan, vision replan, act)
+        before serving traffic. Leaves policy state untouched."""
+        saved = (self._rng, self._plan, self._goal, self._carry, self._step_count)
+        obs = self._art.zero_obs()
+        self.reset()
+        self.step(obs, np.zeros((self.meta["lang_dim"],), np.float32))
+        self.reset()
+        self.step(obs, obs)
+        self._rng, self._plan, self._goal, self._carry, self._step_count = saved
 
     def load_lang_embeddings(self, embeddings_path) -> None:
         embeddings = np.load(embeddings_path, allow_pickle=True).item()
@@ -218,7 +244,32 @@ class ServedBatchedPolicy:
             _zero_carry(self.meta["carry"], e),
         )
 
+    def warmup(self) -> None:
+        """Compile the lockstep step before serving traffic."""
+        saved_rng = self._rng
+        obs = [self._art.zero_obs()] * self.num_envs
+        embs = np.zeros((self.num_envs, self.meta["lang_dim"]), np.float32)
+        self.step(obs, embs, self.initial_state(), np.ones((self.num_envs,), bool))
+        self._rng = saved_rng
+
     def step(self, obs_batch, lang_embs: np.ndarray, state, replan_mask: np.ndarray):
+        # The exported step is FIXED at lanes=E: pad an under-filled batch
+        # (e.g. fewer eval chains than exported lanes) with the last obs and
+        # return only the real lanes' actions. Filler lanes never replan, so
+        # their plan/goal/carry stay zero and cost nothing semantically.
+        n = len(obs_batch)
+        e = self.num_envs
+        if n > e:
+            raise ValueError(f"got {n} lanes but the artifact was exported with lanes={e}")
+        if n < e:
+            obs_batch = list(obs_batch) + [obs_batch[-1]] * (e - n)
+            lang_embs = np.concatenate(
+                [np.asarray(lang_embs, np.float32),
+                 np.zeros((e - n, np.asarray(lang_embs).shape[-1]), np.float32)]
+            )
+            replan_mask = np.concatenate(
+                [np.asarray(replan_mask, bool), np.zeros((e - n,), bool)]
+            )
         cams = self.meta["cameras"]
         rgb_static = (
             np.stack([np.asarray(o["rgb_obs"]["rgb_static"], np.uint8) for o in obs_batch])[:, None]
@@ -244,4 +295,4 @@ class ServedBatchedPolicy:
             rob_norm, rob_raw, jnp.asarray(lang_embs, jnp.float32),
             plan, goal, carry, jnp.asarray(replan_mask, bool),
         )
-        return np.asarray(actions), (plan, goal, carry)
+        return np.asarray(actions)[:n], (plan, goal, carry)

@@ -124,9 +124,65 @@ def test_served_policy_compiles_once(debug_setup):
     assert batched._step._cache_size() == 1
 
 
+def test_warmup_compiles_without_disturbing_state(debug_setup):
+    cfg, _, lang_embeddings, art_dir = debug_setup
+    warmed = ServedPolicy(art_dir, seed=5)
+    warmed.warmup()  # compiles lang + vision replans and act
+    assert warmed._art.fn("replan_lang")._cache_size() == 1
+    assert warmed._art.fn("replan_vision")._cache_size() == 1
+    cold = ServedPolicy(art_dir, seed=5)
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    warmed.reset()
+    cold.reset()
+    for _ in range(4):
+        a_w = warmed.step(obs, "push_red_block_right")
+        a_c = cold.step(obs, "push_red_block_right")
+        np.testing.assert_array_equal(a_w, a_c)  # warmup must not touch RNG/state
+        obs = env.step(a_w)
+    assert warmed._art.fn("act")._cache_size() == 1
+
+    b = ServedBatchedPolicy(art_dir, seed=5)
+    b.warmup()
+    assert b._step._cache_size() == 1
+
+
 def test_served_policy_errors_without_batched_export(debug_setup, tmp_path):
     cfg, params, _, _ = debug_setup
     out = tmp_path / "nolanes"
     export_policy(cfg, params, out, lanes=0)
     with pytest.raises(ValueError, match="no batched step"):
         ServedBatchedPolicy(out)
+
+
+def test_served_batched_drives_lh_eval(debug_setup):
+    """A serving artifact can run the full LH-MTLC batched protocol with no
+    model code: evaluate_policy_batched(policy=ServedBatchedPolicy). The
+    evaluator caps lanes at the artifact's exported E; an under-filled final
+    batch (fewer live chains than lanes) is padded inside the served step."""
+    from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+    cfg, _, _, art_dir = debug_setup
+    served = ServedBatchedPolicy(art_dir, seed=2)
+
+    def scripted_env_factory():
+        env = FakeCalvinEnv()
+        env.script_scene(
+            lambda e, t: e.scene_obs.__setitem__(1, min(0.2, 0.03 * (t + 1)))
+        )
+        return env
+
+    # 2 chains < 3 exported lanes: the evaluator runs 2 lanes and the served
+    # step pads the third internally (exercises the fixed-E padding path)
+    sequences = [["open_drawer"]] * 2
+    lang = {t: np.zeros(cfg.lang_dim, np.float32) for t in ALL_TASKS}
+    results = evaluate_policy_batched(
+        cfg, None, scripted_env_factory,
+        num_envs=8, ep_len=12, sequences=sequences, lang_embeddings=lang,
+        policy=served, epoch=0,
+    )
+    r = results["0"]
+    assert r["chain_sr"]["1"] == 1.0  # scripted drawer opens on every lane
+    assert results["_policy"] is served
