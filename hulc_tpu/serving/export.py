@@ -116,6 +116,12 @@ def export_policy(
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # Canonicalize params to host arrays: a checkpoint restored from a
+    # multi-device training run carries mesh shardings, and jax.export would
+    # bake that device count into the artifact (nr_devices=N), making it
+    # refuse to run on a single-device serving host. Serving artifacts are
+    # single-device by contract (use lanes=E batching for throughput).
+    params = jax.tree.map(np.asarray, params)
     model = make_model(cfg)
     norm = StateObsNormalizer(cfg, statistics)
     pe = cfg.perceptual_encoder

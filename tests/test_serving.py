@@ -155,6 +155,35 @@ def test_served_policy_errors_without_batched_export(debug_setup, tmp_path):
         ServedBatchedPolicy(out)
 
 
+def test_export_cli_end_to_end(tmp_path):
+    """Full deployment path: train a fixture checkpoint -> hulc-tpu-export
+    main() restores it and writes an artifact -> ServedPolicy steps. Also
+    covers the gcbc (plan_dim=0) export branch the other tests don't."""
+    from hulc_tpu.serving.export import main as export_main
+    from hulc_tpu.training.train import main as train_main
+
+    run_dir = tmp_path / "run"
+    train_main([
+        # batch 8/modality: the fused batch must divide the 8-device test mesh
+        "--config", "gcbc_debug", "--fixture", "--steps", "2",
+        "--batch-size", "8", "--cache", "none", "--run-dir", str(run_dir),
+    ])
+    art_dir = tmp_path / "artifact"
+    export_main([
+        "--run-dir", str(run_dir), "--config", "gcbc_debug",
+        "--out", str(art_dir), "--platforms", "native",
+    ])
+    served = ServedPolicy(art_dir, seed=0)
+    cfg = get_config("gcbc_debug")
+    env = fake_env_for(cfg)
+    obs = env.reset()
+    served.reset()
+    for _ in range(2):
+        action = served.step(obs, np.zeros((cfg.lang_dim,), np.float32))
+        assert action.shape == (7,) and np.isfinite(action).all()
+        obs = env.step(action)
+
+
 def test_served_batched_drives_lh_eval(debug_setup):
     """A serving artifact can run the full LH-MTLC batched protocol with no
     model code: evaluate_policy_batched(policy=ServedBatchedPolicy). The
