@@ -93,7 +93,11 @@ def _assembly_rate_mb_s(loader, num_workers, n_batches=3):
     old = loader.num_workers
     loader.num_workers = num_workers
     try:
-        n_batches = min(n_batches, len(loader) - 1)
+        # at least one timed draw: the iterator is endless (wraps the
+        # fixture), and len(loader) can be 1 on multi-chip hosts where the
+        # global batch swallows the whole fixture — n_batches=0 would report
+        # a 0.0 rate and divide-by-zero the projected-wire math downstream
+        n_batches = max(1, min(n_batches, len(loader) - 1))
         it = iter(loader)
         first = next(it)  # warm: first-touch page allocation is erratic here
         nbytes = _tree_nbytes(first)
@@ -274,7 +278,9 @@ def main():
             # 1-core VM the sustained probe is noise-dominated (first-touch
             # pages + queue contention on one core) and usually loses; on
             # multi-core hosts the worker-scaled rate wins.
-            best_assemble_s = min(assemble_s, nbytes / (max(workers_mb_s.values()) * 1e6))
+            best_assemble_s = min(
+                assemble_s, nbytes / max(max(workers_mb_s.values()) * 1e6, 1e-9)
+            )
 
             # what the same pipeline does when the wire runs at its clean rate
             # (production-representative): stages overlap, slowest wins

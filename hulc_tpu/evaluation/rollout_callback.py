@@ -123,6 +123,21 @@ class RolloutLongHorizonCallback:
         print(f"[rollout] epoch {epoch}: avg_seq_len={r['avg_seq_len']:.3f}")
         return metrics
 
+    def _epoch_video_dir(self, trainer, epoch: int):
+        """Per-epoch video directory (both rollout modes). An explicit
+        video_dir also gets an epoch_<e> subdir so epochs don't overwrite
+        each other's chain_XXXX files."""
+        if not self.num_videos:
+            return None
+        import pathlib
+
+        base = (
+            pathlib.Path(self.video_dir)
+            if self.video_dir is not None
+            else pathlib.Path(trainer.tcfg.run_dir) / "rollout_videos"
+        )
+        return base / f"epoch_{epoch}"
+
     def _run_batched(self, trainer, state, epoch: int):
         from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
 
@@ -131,11 +146,6 @@ class RolloutLongHorizonCallback:
                 self.env_factory() for _ in range(min(self.num_envs, self.num_sequences))
             ]
         sequences, initial_states = self._task_pool_and_chains(epoch, self._envs[0])
-        video_dir = self.video_dir
-        if self.num_videos and video_dir is None:
-            import pathlib
-
-            video_dir = pathlib.Path(trainer.tcfg.run_dir) / "rollout_videos" / f"epoch_{epoch}"
         results = evaluate_policy_batched(
             trainer.cfg,
             state.params,
@@ -151,7 +161,7 @@ class RolloutLongHorizonCallback:
             seed=self.seed + epoch,
             policy=self._batched_policy,  # None first epoch; reused after
             num_videos=self.num_videos,
-            video_dir=video_dir,
+            video_dir=self._epoch_video_dir(trainer, epoch),
         )
         self._batched_policy = results.pop("_policy", None)
         return results
@@ -174,7 +184,7 @@ class RolloutLongHorizonCallback:
             initial_states=initial_states,
             seed=self.seed + epoch,
             num_videos=self.num_videos,
-            video_dir=self.video_dir,
+            video_dir=self._epoch_video_dir(trainer, epoch),
         )
 
 

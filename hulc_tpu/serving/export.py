@@ -48,29 +48,11 @@ from hulc_tpu.data.dataset import DatasetStatistics
 from hulc_tpu.evaluation.policy import StateObsNormalizer, build_policy_fns
 from hulc_tpu.models import make_model
 from hulc_tpu.models.decoders import decoder_carry
+from hulc_tpu.serving.params_io import flatten_params, unflatten_params
+
+__all__ = ["export_policy", "flatten_params", "unflatten_params"]
 
 FORMAT_VERSION = 1
-
-
-def flatten_params(params) -> Dict[str, np.ndarray]:
-    """Nested param dict -> flat {'a/b/kernel': array} (npz-serializable)."""
-    flat = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        key = "/".join(str(getattr(p, "key", p)) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
-
-
-def unflatten_params(flat: Dict[str, np.ndarray]):
-    """Inverse of :func:`flatten_params` for plain nested dicts."""
-    params: Dict = {}
-    for key, leaf in flat.items():
-        node = params
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(leaf)
-    return params
 
 
 def _wrap_key(fn):

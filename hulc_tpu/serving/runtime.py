@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hulc_tpu.serving.export import unflatten_params
+from hulc_tpu.serving.params_io import unflatten_params
 
 
 def _commit(x):
@@ -154,13 +154,19 @@ class ServedPolicy:
         self.params = self._art.params
         self.replan_freq = self.meta["replan_freq"]
         self.lang_embeddings = self._art.lang_embeddings
-        self._rng = jax.random.key(seed)
+        self._base_rng = jax.random.key(seed)
+        self._rng = self._base_rng
         self._plan = None
         self._goal = None
         self._carry = None
         self._step_count = 0
 
     def reset(self) -> None:
+        # restart the RNG stream from the base key, like HulcPolicy.reset()
+        # (policy.py seeds each episode's PolicyState from _base_rng) — so
+        # served-vs-live action parity holds on every episode, not just the
+        # first one
+        self._rng = self._base_rng
         self._plan = None
         self._step_count = 0
 

@@ -53,6 +53,11 @@ class SyntheticStore:
             out[k] = arr
         return out
 
+    def load_frames(self, start: int, count: int, workers=None):
+        # EpisodeStore.load_frames contract (populate_from_store's decode
+        # path); synthetic frames need no thread pool
+        return self.get_window(start, count)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

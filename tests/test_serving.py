@@ -61,6 +61,16 @@ def test_served_policy_matches_live_lang_goal(debug_setup):
         a_served = served.step(obs, "push_red_block_right")
         np.testing.assert_allclose(a_served, a_live, rtol=1e-5, atol=1e-5)
         obs = env.step(a_live)
+    # parity must survive reset(): both policies restart their RNG stream
+    # from the base key each episode (lh_eval resets once per chain)
+    obs = env.reset()
+    live.reset()
+    served.reset()
+    for t in range(4):
+        a_live = live.step(obs, "push_red_block_right")
+        a_served = served.step(obs, "push_red_block_right")
+        np.testing.assert_allclose(a_served, a_live, rtol=1e-5, atol=1e-5)
+        obs = env.step(a_live)
 
 
 def test_served_policy_matches_live_vision_goal(debug_setup):
@@ -153,6 +163,23 @@ def test_served_policy_errors_without_batched_export(debug_setup, tmp_path):
     export_policy(cfg, params, out, lanes=0)
     with pytest.raises(ValueError, match="no batched step"):
         ServedBatchedPolicy(out)
+
+
+def test_runtime_import_is_model_code_free():
+    """A serving host importing ServedPolicy must not pull in the flax
+    model stack (runtime.py is jax+numpy only; export_policy is lazy)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from hulc_tpu.serving import ServedPolicy, ServedBatchedPolicy\n"
+        "banned = [m for m in sys.modules if m == 'flax' or m.startswith('flax.')\n"
+        "          or m.startswith('hulc_tpu.models') or m.startswith('hulc_tpu.evaluation')]\n"
+        "assert not banned, f'model code imported: {banned}'\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
 
 
 def test_export_cli_end_to_end(tmp_path):
