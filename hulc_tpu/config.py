@@ -398,6 +398,32 @@ def hulc_state_only_config(**overrides) -> HulcConfig:
     return dataclasses.replace(base, **overrides).resolve()
 
 
+def fetch_state_config(**overrides) -> HulcConfig:
+    """Real-physics demo preset: state-based GCBC on MuJoCo Fetch
+    (evaluation/gym_env_adapter.py + scripts/fetch_demo.py). robot_scene
+    proprioception over the adapter's CALVIN-mapped state: gripper xyz,
+    gripper width, last grip command + object xyz, goal xyz from scene_obs
+    ([robot(15); scene(24)] concat -> keep slices). No cameras; the CLIP aux
+    needs pixels and stays off."""
+    base = HulcConfig(
+        model_kind="gcbc",
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=None,
+            rgb_gripper=None,
+            proprio=ProprioConfig(
+                n_state_obs=11,
+                # robot: grip xyz (0:3), width (6:7); [14:18] spans the last
+                # grip command (14) + object xyz (scene 0:3); goal xyz (21:24)
+                keep_indices=((0, 3), (6, 7), (14, 18), (21, 24)),
+                include_scene=True,
+            ),
+        ),
+        action_decoder=ActionDecoderConfig(perceptual_emb_slice=None, gripper_control=False),
+        use_clip_auxiliary_loss=False,
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
 def hulc_deterministic_config(**overrides) -> HulcConfig:
     """Deterministic-decoder ablation (conf/model/action_decoder/deterministic.yaml)."""
     base = HulcConfig(action_decoder=ActionDecoderConfig(kind="deterministic"))
@@ -414,6 +440,8 @@ CONFIGS: Dict[str, Callable[[], HulcConfig]] = {
     "hulc_tactile": hulc_tactile_config,
     "hulc_deterministic": hulc_deterministic_config,
     "hulc_state_only": hulc_state_only_config,
+    "fetch_state": fetch_state_config,
+    "fetch_state_debug": lambda: _debug(fetch_state_config()),
     "hulc_debug": lambda: _debug(hulc_config()),
     "state_only_debug": lambda: _debug(hulc_state_only_config()),
     "mcil_debug": lambda: _debug(mcil_config()),
