@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -26,6 +26,10 @@ native:          ## (re)build the C++ shared-memory cache
 
 shm-scale:       ## populate + gather an 8 GB /dev/shm arena (integrity checked)
 	$(PY) scripts/shm_scale_test.py --gb 8
+
+fetch-demo:      ## real-physics e2e: MuJoCo Fetch collect->train->closed-loop eval
+	MUJOCO_GL=egl $(PY) scripts/fetch_demo.py all --root /tmp/fetch_demo \
+	    --episodes 1000 --steps 6000 --eval-episodes 50
 
 converge:        ## train->select->eval->plot on the real chip, loss asserts
 	$(PY) scripts/converge.py
