@@ -424,6 +424,27 @@ def fetch_state_config(**overrides) -> HulcConfig:
     return dataclasses.replace(base, **overrides).resolve()
 
 
+def fetch_vision_config(**overrides) -> HulcConfig:
+    """Vision variant of the Fetch demo: GCBC from real rendered pixels
+    (84px static camera through the standard VisionNetwork + RandomShiftsAug)
+    plus robot-only proprio (grip xyz, width, last grip command). The object
+    and the goal marker are only visible in the image — unlike fetch_state,
+    nothing in the state vector reveals them."""
+    base = HulcConfig(
+        model_kind="gcbc",
+        perceptual_encoder=PerceptualEncoderConfig(
+            rgb_static=VisionEncoderConfig(input_size=84, shift_pad=4),
+            rgb_gripper=None,
+            proprio=ProprioConfig(
+                n_state_obs=5, keep_indices=((0, 3), (6, 7), (14, 15))
+            ),
+        ),
+        action_decoder=ActionDecoderConfig(perceptual_emb_slice=None, gripper_control=False),
+        use_clip_auxiliary_loss=False,
+    )
+    return dataclasses.replace(base, **overrides).resolve()
+
+
 def hulc_deterministic_config(**overrides) -> HulcConfig:
     """Deterministic-decoder ablation (conf/model/action_decoder/deterministic.yaml)."""
     base = HulcConfig(action_decoder=ActionDecoderConfig(kind="deterministic"))
@@ -442,6 +463,7 @@ CONFIGS: Dict[str, Callable[[], HulcConfig]] = {
     "hulc_state_only": hulc_state_only_config,
     "fetch_state": fetch_state_config,
     "fetch_state_debug": lambda: _debug(fetch_state_config()),
+    "fetch_vision": fetch_vision_config,
     "hulc_debug": lambda: _debug(hulc_config()),
     "state_only_debug": lambda: _debug(hulc_state_only_config()),
     "mcil_debug": lambda: _debug(mcil_config()),

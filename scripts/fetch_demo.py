@@ -147,7 +147,7 @@ def cmd_collect(args) -> None:
 def cmd_train(args) -> None:
     from hulc_tpu.training.train import main as train_main
 
-    train_main([
+    argv = [
         "--config", args.config,
         "--data-dir", str(pathlib.Path(args.root) / "dataset"),
         "--run-dir", str(pathlib.Path(args.root) / "run"),
@@ -155,7 +155,10 @@ def cmd_train(args) -> None:
         "--batch-size", str(args.batch_size),
         "--cache", "ram",
         "--bf16",
-    ])
+    ]
+    if args.echo > 1:
+        argv += ["--echo-factor", str(args.echo)]
+    train_main(argv)
 
 
 def cmd_eval(args) -> None:
@@ -189,10 +192,26 @@ def cmd_eval(args) -> None:
     lang_embeddings = load_task_embeddings(
         root / "dataset" / "validation" / LANG_FOLDER / "embeddings.npy"
     )
-    policy = HulcPolicy(
-        cfg, params, statistics=stats, lang_embeddings=lang_embeddings, seed=args.seed
+    if args.served:
+        # deployment-grade path: AOT-export the checkpoint, then serve it
+        # with NO model code in the loop (serving/runtime.py)
+        from hulc_tpu.serving import ServedPolicy, export_policy
+
+        export_policy(
+            cfg, params, root / "artifact",
+            statistics=stats, lang_embeddings=lang_embeddings,
+        )
+        policy = ServedPolicy(root / "artifact", seed=args.seed)
+    else:
+        policy = HulcPolicy(
+            cfg, params, statistics=stats, lang_embeddings=lang_embeddings, seed=args.seed
+        )
+    vision = cfg.perceptual_encoder.rgb_static is not None
+    env = FetchCalvinEnv(
+        images=vision,
+        render_px=cfg.perceptual_encoder.rgb_static.input_size if vision else 84,
+        seed=args.seed + 50_000,
     )
-    env = FetchCalvinEnv(images=False, seed=args.seed + 50_000)
     oracle = GymSuccessOracle()
     successes = 0
     t0 = time.time()
@@ -201,8 +220,9 @@ def cmd_eval(args) -> None:
         successes += rollout(env, policy, FETCH_TASK, FETCH_TASK, oracle, args.ep_len)
     env.close()
     sr = successes / args.eval_episodes
+    mode = "served artifact" if args.served else "live policy"
     print(
-        f"[eval] {args.config} closed-loop on real MuJoCo physics: "
+        f"[eval] {args.config} ({mode}) closed-loop on real MuJoCo physics: "
         f"{successes}/{args.eval_episodes} = SR {sr:.2f} "
         f"({time.time() - t0:.0f}s, ckpt {path.name})"
     )
@@ -219,6 +239,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--eval-episodes", type=int, default=50)
     p.add_argument("--images", action="store_true", help="render + store rgb_static")
+    p.add_argument("--echo", type=int, default=1, help="data-echo factor (feed-bound rigs)")
+    p.add_argument("--served", action="store_true",
+                   help="eval via an exported StableHLO artifact (ServedPolicy)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
