@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--run-dir", required=True, help="training run dir with saved_models/")
     p.add_argument("--config", default="hulc")
     p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE", dest="overrides",
+        help="dotted config override (repeatable); must match the trained "
+        "checkpoint's architecture, e.g. --set action_decoder.hidden_size=4096",
+    )
+    p.add_argument(
         "--checkpoint",
         default="last",
         help="last | best | all | comma-separated epochs ('best' uses the "
@@ -81,6 +86,10 @@ def main(argv=None):
     from hulc_tpu.training import checkpoint as ckpt
 
     cfg = get_config(args.config)
+    if args.overrides:
+        from hulc_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     run_dir = pathlib.Path(args.run_dir)
 
     if args.checkpoint == "last":

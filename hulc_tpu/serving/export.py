@@ -227,6 +227,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Export a trained policy as a serving artifact")
     p.add_argument("--run-dir", required=True)
     p.add_argument("--config", required=True, help="config preset name")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE", dest="overrides",
+        help="dotted config override (repeatable); must match the trained "
+        "checkpoint's architecture",
+    )
     p.add_argument("--out", required=True, help="artifact output directory")
     p.add_argument("--checkpoint", default="last", help="last | best | <epoch>")
     p.add_argument("--dataset-dir", default=None, help="for statistics + lang embeddings")
@@ -243,6 +248,10 @@ def main(argv=None):
     from hulc_tpu.training import checkpoint as ckpt
 
     cfg = get_config(args.config)
+    if args.overrides:
+        from hulc_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     model = make_model(cfg)
     batch = {"vis": example_batch(cfg), "lang": example_batch(cfg, lang=True)}
     template = init_params(model, jax.random.key(0), batch)

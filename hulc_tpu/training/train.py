@@ -22,6 +22,12 @@ from hulc_tpu.training.trainer import Trainer, TrainerConfig
 def main(argv=None):
     p = argparse.ArgumentParser(description="hulc_tpu trainer")
     p.add_argument("--config", default="hulc", help="model preset (hulc|mcil|gcbc|*_debug)")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE", dest="overrides",
+        help="dotted config override (repeatable), e.g. "
+        "--set action_decoder.hidden_size=4096 --set loss.kl_beta=0.1 "
+        "(reference: hydra CLI overrides)",
+    )
     p.add_argument("--data-dir", default=None, help="CALVIN dataset root (training/ + validation/)")
     p.add_argument("--fixture", action="store_true", help="train on a synthetic fixture dataset")
     p.add_argument("--run-dir", default=None)
@@ -126,6 +132,10 @@ def main(argv=None):
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"
     cfg = get_config(args.config, **overrides)
+    if args.overrides:
+        from hulc_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
 
     debug = args.config.endswith("_debug")
     min_w = args.min_window or (8 if debug else 20)
