@@ -137,6 +137,29 @@ def main(argv=None):
 
         cfg = apply_overrides(cfg, args.overrides)
 
+    # Clamp the data-mesh size so tiny batches shard evenly: pjit requires
+    # the global batch dim divisible by the data axis, and a debug run like
+    # --batch-size 2 on an 8-device host would otherwise fail deep inside
+    # device_put. The per-modality batch is the binding constraint (the val
+    # loader is unfused even when training is fused, and if it divides then
+    # the fused [vis; lang] 2B batch divides too).
+    import math
+
+    import jax
+
+    par = max(args.tp, 1) * max(args.sp, 1)
+    n_avail = len(jax.devices())
+    n_data = max(n_avail // par, 1)
+    n_data_clamped = math.gcd(args.batch_size, n_data)
+    num_devices = None
+    if n_data_clamped != n_data:
+        num_devices = n_data_clamped * par
+        print(
+            f"[train] mesh clamped to {num_devices}/{n_avail} devices so the "
+            f"per-modality batch ({args.batch_size}) shards evenly over the "
+            f"data axis"
+        )
+
     debug = args.config.endswith("_debug")
     min_w = args.min_window or (8 if debug else 20)
     max_w = args.max_window or (8 if debug else 32)
@@ -151,6 +174,7 @@ def main(argv=None):
     run_dir = args.run_dir or f"runs/{args.config}"
     tcfg = TrainerConfig(
         run_dir=run_dir,
+        num_devices=num_devices,
         max_epochs=args.epochs or (10**9 if args.steps else 100),  # --steps caps, not epochs
         lr=args.lr,
         lr_schedule=args.lr_schedule,

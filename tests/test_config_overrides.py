@@ -129,7 +129,7 @@ def test_overridden_config_still_builds_and_runs():
     batch = {"vis": example_batch(cfg)}
     params = init_params(model, jax.random.key(0), batch)
     losses = model.apply(
-        {"params": params}, jax.random.key(1), batch,
+        {"params": params}, jax.random.key(1), batch, 0.01,
         method=model.train_losses,
         rngs={"dropout": jax.random.key(2)},
     )
