@@ -66,7 +66,19 @@ class RolloutLongHorizonCallback:
         self.lang_embeddings = lang_embeddings
         self.statistics = statistics
         self.seed = seed
-        self.mode = mode if (env_factory is not None or mode != "batched") else "sequential"
+        if mode == "batched" and env_factory is None:
+            import warnings
+
+            warnings.warn(
+                "RolloutLongHorizonCallback: mode='batched' needs env_factory "
+                "(a zero-arg callable building one env per lane); falling back "
+                "to the SEQUENTIAL evaluator, measured ~10x slower (30.8 s vs "
+                "2.9 s per epoch at 16 chains x 45 steps on the real chip). "
+                "Pass env_factory=... to keep the batched path.",
+                stacklevel=2,
+            )
+            mode = "sequential"
+        self.mode = mode
         if self.mode == "sequential" and self.env is None:
             # fail at construction, not mid-training at the first rollout
             # epoch: sequential mode drives one concrete env instance

@@ -19,6 +19,26 @@ from hulc_tpu.training.schedules import KLSchedule
 from hulc_tpu.training.trainer import Trainer, TrainerConfig
 
 
+def resolve_mesh_devices(batch_size, tp=1, sp=1, n_avail=None, process_count=1):
+    """Device count for the Trainer mesh, or None to use every device.
+
+    Single-host only: clamps the data axis to the largest divisor of the
+    per-modality batch that fits (pjit needs batch % data_axis == 0), and
+    shrinks the mesh when tp*sp doesn't divide the device count (e.g. tp=3
+    on 8 devices -> a valid 6-device mesh). Multi-host (process_count > 1)
+    never clamps: jax.devices() is global while batch_size is per-host, and
+    slicing devices[:k] would exclude other processes' local devices.
+    """
+    par = max(tp, 1) * max(sp, 1)
+    if process_count > 1:
+        return None
+    n_data = max(n_avail // par, 1)
+    n_data_clamped = next(d for d in range(n_data, 0, -1) if batch_size % d == 0)
+    if n_data_clamped * par != n_avail:
+        return n_data_clamped * par
+    return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="hulc_tpu trainer")
     p.add_argument("--config", default="hulc", help="model preset (hulc|mcil|gcbc|*_debug)")
@@ -143,21 +163,16 @@ def main(argv=None):
     # device_put. The per-modality batch is the binding constraint (the val
     # loader is unfused even when training is fused, and if it divides then
     # the fused [vis; lang] 2B batch divides too).
-    import math
-
     import jax
 
-    par = max(args.tp, 1) * max(args.sp, 1)
     n_avail = len(jax.devices())
-    n_data = max(n_avail // par, 1)
-    n_data_clamped = math.gcd(args.batch_size, n_data)
-    num_devices = None
-    if n_data_clamped != n_data:
-        num_devices = n_data_clamped * par
+    num_devices = resolve_mesh_devices(
+        args.batch_size, args.tp, args.sp, n_avail, jax.process_count()
+    )
+    if num_devices is not None:
         print(
             f"[train] mesh clamped to {num_devices}/{n_avail} devices so the "
-            f"per-modality batch ({args.batch_size}) shards evenly over the "
-            f"data axis"
+            f"per-modality batch ({args.batch_size}) and tp/sp shard evenly"
         )
 
     debug = args.config.endswith("_debug")

@@ -418,3 +418,25 @@ def test_sp_sequence_parallel_step():
 def test_tp_sp_mutually_exclusive():
     with pytest.raises(ValueError, match="mutually exclusive"):
         Trainer(get_config("gcbc_debug"), TrainerConfig(num_devices=8, tp=2, sp=2))
+
+
+def test_resolve_mesh_devices_clamp_rules():
+    """Mesh clamp (ADVICE r3): maximal divisor not gcd, multi-host never
+    clamps (global devices vs per-host batch), tp not dividing devices
+    yields the largest valid mesh instead of an error."""
+    from hulc_tpu.training.train import resolve_mesh_devices
+
+    # batch divides: no clamp
+    assert resolve_mesh_devices(32, n_avail=8) is None
+    assert resolve_mesh_devices(8, n_avail=8) is None
+    # maximal divisor, not gcd: batch 12 on 8 devices -> 6 (gcd was 4)
+    assert resolve_mesh_devices(12, n_avail=8) == 6
+    assert resolve_mesh_devices(6, n_avail=8) == 6
+    assert resolve_mesh_devices(2, n_avail=8) == 2
+    # tp=3 on 8 devices: valid 6-device 2x3 mesh even though batch divides
+    assert resolve_mesh_devices(8, tp=3, n_avail=8) == 6
+    assert resolve_mesh_devices(4, tp=2, n_avail=8) == 8 or \
+        resolve_mesh_devices(4, tp=2, n_avail=8) is None  # 4x2 uses all 8
+    # multi-host: never clamp (per-host batch vs global device count)
+    assert resolve_mesh_devices(8, n_avail=16, process_count=2) is None
+    assert resolve_mesh_devices(12, n_avail=16, process_count=2) is None
