@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval epoch-scale echo-converge
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -34,8 +34,17 @@ fetch-demo:      ## real-physics e2e: MuJoCo Fetch collect->train->closed-loop e
 converge:        ## train->select->eval->plot on the real chip, loss asserts
 	$(PY) scripts/converge.py
 
+protocol-eval:   ## full 1000-chain LH-MTLC protocol receipts (chip policy, 64 lanes)
+	$(PY) scripts/protocol_eval.py
+
+epoch-scale:     ## multi-GB split + full-epoch loader->preprocess->device measurement
+	$(PY) scripts/epoch_scale.py --keep-data
+
 echo-quality:    ## data-echoing quality cost table (echo 1/4/16, same steps)
 	$(PY) scripts/echo_quality.py
+
+echo-converge:   ## echo {1,8} x 2 seeds at CONVERGE scale (full-size flagship)
+	$(PY) scripts/echo_converge.py
 
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \

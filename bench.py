@@ -50,6 +50,27 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hulc_jax_cache")
 BASELINE_SEQ_PER_SEC_PER_GPU = 23.5
 E2E_DATA_DIR = pathlib.Path("/tmp/hulc_bench_data")
 
+# public spec-sheet peaks per chip: device_kind -> (bf16 TFLOP/s, HBM GB/s).
+# Longest-prefix match so "TPU v5 lite" resolves before "TPU v5".
+_CHIP_PEAKS = {
+    "TPU v4": (275, 1228),
+    "TPU v5 lite": (197, 819),
+    "TPU v5e": (197, 819),
+    "TPU v5p": (459, 2765),
+    "TPU v5": (459, 2765),
+    "TPU v6 lite": (918, 1640),
+    "TPU v6e": (918, 1640),
+}
+
+
+def _chip_peaks(device_kind: str):
+    if device_kind in _CHIP_PEAKS:
+        return _CHIP_PEAKS[device_kind]
+    for k in sorted(_CHIP_PEAKS, key=len, reverse=True):
+        if device_kind.startswith(k):
+            return _CHIP_PEAKS[k]
+    return (None, None)
+
 
 def _tree_nbytes(batch) -> int:
     import jax
@@ -203,6 +224,43 @@ def main():
         "unit": "seq/s/chip (32vis+32lang, S=32, bf16, full train step)",
         "vs_baseline": round(device_seq_s / BASELINE_SEQ_PER_SEC_PER_GPU, 2),
     }
+
+    # --- absolute-efficiency anchor (VERDICT r3 #2): executed-HLO flops and
+    # HBM traffic per step from the compiled executable's cost model, against
+    # the chip's public peak. This is HFU-style accounting (every executed
+    # flop counts, incl. on-device preprocessing/augmentation — an upper
+    # bound on "useful" model flops), so the roofline reads: the step cannot
+    # be faster than max(flops/peak_mxu, bytes/peak_hbm).
+    try:
+        kind = jax.devices()[0].device_kind
+        peak_tflops, peak_gb_s = _chip_peaks(kind)
+        ca = train_step.lower(state, sharded, rng, kl_beta).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns one dict per device
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / n_chips
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) / n_chips
+        achieved_tflops = flops / device_step_s / 1e12
+        achieved_gb_s = bytes_acc / device_step_s / 1e9
+        mxu_bound_ms = flops / (peak_tflops * 1e12) * 1e3 if peak_tflops else None
+        hbm_bound_ms = bytes_acc / (peak_gb_s * 1e9) * 1e3 if peak_gb_s else None
+        result["mfu"] = {
+            "device_kind": kind,
+            "flops_per_step_g": round(flops / 1e9, 1),
+            "hbm_bytes_per_step_mb": round(bytes_acc / 1e6, 1),
+            "achieved_tflops": round(achieved_tflops, 1),
+            "peak_tflops_bf16": peak_tflops,
+            "mfu": round(achieved_tflops / peak_tflops, 3) if peak_tflops else None,
+            "achieved_hbm_gb_s": round(achieved_gb_s, 1),
+            "peak_hbm_gb_s": peak_gb_s,
+            "hbm_util": round(achieved_gb_s / peak_gb_s, 3) if peak_gb_s else None,
+            "roofline_floor_ms": {
+                "mxu": round(mxu_bound_ms, 2) if mxu_bound_ms else None,
+                "hbm": round(hbm_bound_ms, 2) if hbm_bound_ms else None,
+                "actual": round(device_step_s * 1e3, 2),
+            },
+        }
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] cost-analysis/mfu failed ({exc!r})", file=sys.stderr)
 
     if not args.skip_e2e and loader is not None:
         try:

@@ -173,6 +173,7 @@ def evaluate_policy_batched(
     initial_states: Optional[List] = None,
     num_videos: int = 0,
     video_dir=None,
+    tsne_path=None,
 ) -> Dict:
     """LH-MTLC protocol with E lockstep environments.
 
@@ -226,6 +227,14 @@ def evaluate_policy_batched(
     done_counts = {}
     task_attempts = collections.defaultdict(int)
     task_successes = collections.defaultdict(int)
+    # latent-plan dump (reference tsne_data_<epoch>.npz schema, sequential
+    # parity in lh_eval): one (plan, goal) sample per attempted subtask,
+    # captured at subtask start. Samples stay DEVICE-resident tiny slices
+    # (async dispatch, no per-capture D2H sync — on the tunneled runtime a
+    # blocking fetch per capture would cost ~30 ms RTT x ~5000 subtasks);
+    # one stacked fetch at the end.
+    tsne_pending = [False] * num_envs
+    tsne_rows: List = []  # (chain_idx, task, plan_slice, goal_slice)
 
     def start_lane(i) -> bool:
         if not chain_queue:
@@ -236,6 +245,7 @@ def evaluate_policy_batched(
         lane_chain[i] = (idx, chain)
         lane_pos[i] = 0
         lane_steps[i] = 0
+        tsne_pending[i] = tsne_path is not None
         if initial_states is not None:
             robot_obs, scene_obs = initial_states[idx % len(initial_states)]
             lane_obs[i] = envs[i].reset(robot_obs=robot_obs, scene_obs=scene_obs)
@@ -272,7 +282,15 @@ def evaluate_policy_batched(
             else np.zeros(lang_dim, np.float32)
             for i in range(num_envs)
         ])
+        replan_in = replan
         actions, state = policy.step(obs_batch, embs, state, replan)
+        if tsne_path is not None:
+            plan_d, goal_d = state[0], state[1]
+            for i in active:
+                if tsne_pending[i] and replan_in[i]:
+                    idx_i, chain_i = lane_chain[i]
+                    tsne_rows.append((idx_i, chain_i[lane_pos[i]], plan_d[i], goal_d[i]))
+                    tsne_pending[i] = False
         replan = np.zeros(num_envs, bool)
         for i in active:
             lane_obs[i] = envs[i].step(actions[i])
@@ -297,12 +315,34 @@ def evaluate_policy_batched(
                     lane_steps[i] = 0
                     lane_start_info[i] = envs[i].get_info()
                     replan[i] = True
+                    tsne_pending[i] = tsne_path is not None
             elif timeout:
                 done_counts[idx] = lane_pos[i]
                 finish_video(i, idx)
                 replan[i] = start_lane(i)
             elif lane_steps[i] % policy.replan_freq == 0:
                 replan[i] = True
+
+    if tsne_path is not None and tsne_rows:
+        # consolidate the device-resident slices with a handful of stacked
+        # fetches (not one D2H per row)
+        tsne_path = pathlib.Path(tsne_path)
+        tsne_path.parent.mkdir(parents=True, exist_ok=True)
+
+        def fetch(col):
+            blocks = [
+                np.asarray(jnp.stack([r[col] for r in tsne_rows[lo : lo + 512]]))
+                for lo in range(0, len(tsne_rows), 512)
+            ]
+            return np.concatenate(blocks).astype(np.float32)
+
+        np.savez(
+            tsne_path,
+            ids=np.asarray([r[0] for r in tsne_rows], np.int64),
+            labels=np.asarray([r[1] for r in tsne_rows]),
+            latent_goals=fetch(3),
+            plans=fetch(2).reshape(len(tsne_rows), -1),
+        )
 
     from hulc_tpu.evaluation.lh_eval import build_results, write_results
 

@@ -189,12 +189,6 @@ def main(argv=None):
         if args.batched:
             from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
 
-            if args.num_videos or args.tsne_dump:
-                print(
-                    "[eval] WARNING: --num-videos/--tsne-dump are only "
-                    "supported by the sequential evaluator; ignored in --batched mode"
-                )
-
             if batched_envs is None:
                 if args.env_factory:
                     factory_fn = _load_env_factory(args.env_factory)
@@ -219,6 +213,9 @@ def main(argv=None):
                 policy=batched_policy,
                 results_name=args.results_name,
                 initial_states=initial_states,
+                num_videos=args.num_videos,
+                video_dir=pathlib.Path(args.video_dir) if args.video_dir else out_dir / "videos",
+                tsne_path=(out_dir / f"tsne_data_{epoch}.npz") if args.tsne_dump else None,
             )
             batched_policy = results.pop("_policy", batched_policy)
             r = results[str(epoch)]

@@ -97,6 +97,32 @@ def report(steps: int, top: int) -> None:
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {ms:7.3f} ms x{cnt[name] // steps:<4d} {name[:120]}")
 
+    # roofline-style class split (VERDICT r3 #2): group op time by HLO kind.
+    # convolution/dot ride the MXU; copy/transpose/bitcast are pure HBM
+    # relayout traffic; while = the RNN scan loops; fusion = fused
+    # elementwise+matmul bodies (mixed — XLA names conv/dot roots by their
+    # own kind, so "fusion" here is predominantly elementwise/HBM-bound).
+    classes = {
+        "conv (MXU)": ("convolution",),
+        "matmul (MXU)": ("dot",),
+        "relayout/copy (HBM)": ("copy", "transpose", "bitcast"),
+        "rnn while-loops": ("while",),
+        "fused elementwise (mostly HBM)": ("fusion",),
+        "collectives": ("all-reduce", "all-gather", "reduce-scatter", "collective"),
+    }
+    by_class = defaultdict(float)
+    for name, ms in agg.items():
+        base = name.split(".")[0].lstrip("%")
+        for cls, prefixes in classes.items():
+            if any(base.startswith(p) for p in prefixes):
+                by_class[cls] += ms
+                break
+        else:
+            by_class["other"] += ms
+    print(f"[roofline] {total:.2f} ms/step by op class:")
+    for cls, ms in sorted(by_class.items(), key=lambda kv: -kv[1]):
+        print(f"  {ms:7.3f} ms ({ms / total * 100:4.1f}%)  {cls}")
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="op-level TPU profile of the train step")

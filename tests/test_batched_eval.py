@@ -176,3 +176,21 @@ def test_lh_callback_batched_without_factory_warns_loudly():
         warnings.simplefilter("error")
         cb = RolloutLongHorizonCallback(env_factory=scripted_env_factory, mode="batched")
     assert cb.mode == "batched"
+
+
+def test_batched_eval_tsne_dump(params, tmp_path):
+    """Batched evaluator writes the reference tsne_data schema (ids/labels/
+    latent_goals/plans), one row per attempted subtask (VERDICT r3 #1)."""
+    sequences = [["open_drawer", "turn_on_lightbulb"]] * 3
+    envs = [scripted_env_factory() for _ in range(2)]
+    emb = {t: np.zeros(384, np.float32) for t in ("open_drawer", "turn_on_lightbulb")}
+    evaluate_policy_batched(
+        CFG, params, envs=envs, num_sequences=3, ep_len=14,
+        sequences=sequences, lang_embeddings=emb, tsne_path=tmp_path / "tsne.npz",
+    )
+    d = np.load(tmp_path / "tsne.npz")
+    n = d["ids"].shape[0]
+    assert n == d["plans"].shape[0] == d["latent_goals"].shape[0] == len(d["labels"])
+    assert n >= 3  # at least the first subtask of each chain
+    assert d["latent_goals"].shape[1] == CFG.visual_goal.latent_goal_features
+    assert set(d["labels"]) <= {"open_drawer", "turn_on_lightbulb"}
