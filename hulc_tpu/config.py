@@ -83,6 +83,13 @@ class PerceptualEncoderConfig:
     tactile: Optional[VisionEncoderConfig] = None
     proprio: Optional[ProprioConfig] = None  # HULC default: no proprio
     use_state_decoder: bool = False  # proprio-reconstruction aux head
+    # rematerialize the per-camera conv towers in the backward pass
+    # (jax.checkpoint): trades conv re-compute FLOPs for not storing the
+    # intermediate conv/relu activations to HBM. The bench step is
+    # HBM-bandwidth-bound (94% of peak, 23% MXU — bench.py mfu block), so
+    # this is the direction the roofline favors; measured per-variant in
+    # scripts/step_experiments.py.
+    remat: bool = False
 
     @property
     def cameras(self) -> Tuple[Optional[VisionEncoderConfig], ...]:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import collections
 import json
 import pathlib
+import time
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -273,7 +274,18 @@ def evaluate_policy_batched(
         start_lane(i)
 
     replan = np.ones(num_envs, bool)
+    t_start = last_print = time.time()
+    lockstep_iters = 0
     while any(c is not None for c in lane_chain):
+        lockstep_iters += 1
+        if time.time() - last_print > 30:
+            last_print = time.time()
+            rate = lockstep_iters * num_envs / (last_print - t_start)
+            print(
+                f"[batched_eval] {len(done_counts)}/{len(sequences)} chains done, "
+                f"{rate:.0f} env-steps/s ({(last_print - t_start):.0f} s elapsed)",
+                flush=True,
+            )
         active = [i for i in range(num_envs) if lane_chain[i] is not None]
         obs_batch = [lane_obs[i] for i in range(num_envs)]
         embs = np.stack([

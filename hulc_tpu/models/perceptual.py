@@ -79,7 +79,14 @@ class ConcatEncoders(nn.Module):
     def _encode(self, encoder, imgs: Array, deterministic: bool) -> Array:
         b, s = imgs.shape[:2]
         flat = imgs.reshape((b * s,) + imgs.shape[2:])
-        feats = encoder(flat, deterministic=deterministic)
+        if self.cfg.remat:
+            # recompute the tower in the bwd instead of storing its conv/relu
+            # intermediates (the step is HBM-bound; see config.remat note).
+            # deterministic is static via the closure.
+            run = nn.remat(lambda mdl, x: mdl(x, deterministic=deterministic))
+            feats = run(encoder, flat)
+        else:
+            feats = encoder(flat, deterministic=deterministic)
         return feats.reshape(b, s, -1)
 
     def __call__(

@@ -88,6 +88,10 @@ class TrainerConfig:
     # optimizer family (reference conf/model/optimizer/*.yaml): adam
     # (default), adamw (weight_decay 1e-6), sgd (momentum 0.9)
     optimizer: str = "adam"
+    # store the adam moment buffers in this dtype (None = float32). bf16
+    # halves the optimizer-state HBM traffic on a bandwidth-bound step
+    # (training/optimizers.py); arithmetic stays f32 either way.
+    adam_mv_dtype: Optional[str] = None
     # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     # written to <run_dir>/profile (no profiling subsystem exists in the
     # reference to port — SURVEY.md §5)
@@ -168,6 +172,10 @@ class Trainer:
         # default in every published experiment config)
         name = self.tcfg.optimizer
         if name == "adam":
+            if self.tcfg.adam_mv_dtype and self.tcfg.adam_mv_dtype != "float32":
+                from hulc_tpu.training.optimizers import adam_lowp
+
+                return adam_lowp(schedule, mv_dtype=self.tcfg.adam_mv_dtype)
             return optax.adam(schedule)
         if name == "adamw":
             return optax.adamw(schedule, weight_decay=1e-6)

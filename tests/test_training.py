@@ -440,3 +440,75 @@ def test_resolve_mesh_devices_clamp_rules():
     # multi-host: never clamp (per-host batch vs global device count)
     assert resolve_mesh_devices(8, n_avail=16, process_count=2) is None
     assert resolve_mesh_devices(12, n_avail=16, process_count=2) is None
+
+
+def test_adam_lowp_moments_bf16():
+    """adam_mv_dtype="bfloat16" (training/optimizers.py): moments stored
+    bf16, f32-storage variant bit-matches optax.adam, and the bf16 run
+    tracks the f32 run closely over a few steps (the HBM-tail experiment
+    from the round-3 roofline: the step is bandwidth-bound)."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.parallel.mesh import shard_batch_tree
+
+    cfg = get_config("gcbc_debug")
+    raw = _make_raw_batch(cfg, 4, 8)
+
+    def run(mv_dtype):
+        tr = Trainer(
+            cfg,
+            TrainerConfig(run_dir=f"/tmp/na_adamlp_{mv_dtype}", num_devices=1,
+                          donate_state=False, lr=1e-3, adam_mv_dtype=mv_dtype),
+        )
+        state = tr.init_state(raw, steps_per_epoch=1)
+        step = tr.make_train_step()
+        sharded = shard_batch_tree(raw, tr.mesh)
+        for _ in range(6):
+            state, losses = step(state, sharded, jax.random.key(0), jnp.asarray(0.01))
+        return state, float(losses["total_loss"])
+
+    state32, loss32 = run(None)
+    state_f32store, loss_f32store = run("float32")  # must bit-match optax.adam
+    np.testing.assert_allclose(loss32, loss_f32store, rtol=1e-6)
+    state16, loss16 = run("bfloat16")
+    # bf16 moment storage: state dtype is bf16 and the trajectory stays close
+    mus = [l for l in jax.tree.leaves(state16.opt_state) if l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment buffers in opt_state"
+    np.testing.assert_allclose(loss16, loss32, rtol=2e-2)
+
+
+def test_perceptual_remat_parity():
+    """perceptual_encoder.remat=true is numerically identical (same ops,
+    recomputed in bwd): loss and gradients bit-match the baseline."""
+    from __graft_entry__ import _make_raw_batch
+    from hulc_tpu.config import apply_overrides
+    from hulc_tpu.models import make_model
+    from hulc_tpu.training.preprocess import preprocess_batch
+
+    cfg = get_config("hulc_debug")
+    pe = cfg.perceptual_encoder
+    raw = _make_raw_batch(cfg, 2, 8, pe.rgb_static.input_size, pe.rgb_gripper.input_size)
+    cfg_r = apply_overrides(get_config("hulc_debug"), ["perceptual_encoder.remat=true"])
+    assert cfg_r.perceptual_encoder.remat
+
+    def loss_and_grad(cfg):
+        model = make_model(cfg)
+        prep = preprocess_batch(cfg, raw, rng=None, train=False)
+        params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jax.random.key(2), prep, 0.01, method=model.train_losses,
+        )["params"]
+
+        def f(p):
+            losses = model.apply(
+                {"params": p}, jax.random.key(3), prep, 0.01,
+                method=model.train_losses, rngs={"dropout": jax.random.key(4)},
+            )
+            return losses["total_loss"]
+
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss_and_grad(cfg)
+    l1, g1 = loss_and_grad(cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
