@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval epoch-scale echo-converge
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -36,6 +36,9 @@ converge:        ## train->select->eval->plot on the real chip, loss asserts
 
 protocol-eval:   ## full 1000-chain LH-MTLC protocol receipts (chip policy, 64 lanes)
 	$(PY) scripts/protocol_eval.py
+
+protocol-expert: ## official 1000-chain protocol, scripted expert on the interactive playtable (no chip)
+	$(PY) scripts/protocol_eval.py --expert --out PROTOCOL_EXPERT.json
 
 epoch-scale:     ## multi-GB split + full-epoch loader->preprocess->device measurement
 	$(PY) scripts/epoch_scale.py --keep-data

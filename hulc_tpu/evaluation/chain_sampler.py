@@ -250,7 +250,13 @@ def get_sequences(
             weights = np.asarray([1.0 / (1.0 + counts[t]) for t in feasible])
             task = feasible[rng.choice(len(feasible), p=weights / weights.sum())]
             effects = feasible_effects(state, task)
-            state = apply_effect(state, effects[rng.integers(len(effects))])
+            # canonical (first) effect: for multi-effect tasks (push_into_
+            # drawer / unstack with a choice of blocks) the chain's
+            # continuation must match what a deterministic agent would pick —
+            # a randomly-chosen alternative makes chains like
+            # push_into_drawer -> lift_pink_block_drawer unfair to ANY agent
+            # that can't see the sampler's private coin
+            state = apply_effect(state, effects[0])
             chain.append(task)
         if len(chain) < min(chain_len, len(pool)):
             continue  # dead end: resample the whole sequence

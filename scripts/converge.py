@@ -43,11 +43,15 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16, help="per modality")
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--lr", type=float, default=5e-4)
-    p.add_argument("--echo", type=int, default=8,
+    p.add_argument("--echo", type=int, default=1,
                    help="data echoing (this rig's tunneled wire degrades ~30x "
-                   "after the first program; echo keeps the run feed-sane). "
-                   "Quality cost per echo level: see scripts/echo_quality.py "
-                   "results in README.")
+                   "after the first program; echo ~5x's wall-clock but the "
+                   "converge-scale study (make echo-converge, "
+                   "ECHO_CONVERGE.json) measured a real quality cost at "
+                   "equal steps: echo 8 final loss 6.1/14.1 vs 4.6/4.0, val "
+                   "MAE 1.70/1.90 vs 1.33/1.34. Default stays at the "
+                   "certified echo 1; raise it only as an explicit "
+                   "wire-starvation tradeoff.")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--rollout-sequences", type=int, default=16)
     p.add_argument("--rollout-ep-len", type=int, default=45)

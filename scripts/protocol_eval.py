@@ -36,8 +36,17 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--num-videos", type=int, default=8)
     p.add_argument("--env-factory", default=None, help="module:function -> (env, oracle)")
+    p.add_argument(
+        "--expert", action="store_true",
+        help="drive the official protocol with the scripted expert on the "
+        "interactive playtable (no training, no chip): proves the full "
+        "chain/lane/results accounting with NONZERO success rates",
+    )
     p.add_argument("--out", default="PROTOCOL.json")
     args = p.parse_args(argv)
+
+    if args.expert:
+        return expert_protocol(args)
 
     from hulc_tpu.data.fixtures import make_fixture_dataset
 
@@ -109,6 +118,84 @@ def main(argv=None):
         "results_json": str(results_path),
     }
     print("[protocol] " + json.dumps(summary))
+    pathlib.Path(args.out).write_text(json.dumps(summary, indent=1) + "\n")
+    return summary
+
+
+def expert_protocol(args):
+    """Official LH-MTLC protocol at full scale with the scripted expert:
+    feasibility-filtered chains + matched scene resets (chain_sampler), the
+    34-task pool, 64 lockstep lanes, interactive playtable dynamics, real
+    block_contacts driving the oracle. The receipt the policy-driven run
+    cannot give (the fake env's unscripted scene never moves): nonzero
+    chain_sr / avg_seq_len and all-task task_sr through the exact production
+    accounting path (reference hulc/evaluation/evaluate_policy.py:82)."""
+    import resource
+    import numpy as np
+
+    from hulc_tpu.config import get_config
+    from hulc_tpu.evaluation import chain_sampler, plots as plots_cli
+    from hulc_tpu.evaluation.batched_eval import evaluate_policy_batched
+    from hulc_tpu.evaluation.expert import ScriptedExpertPolicy, task_embeddings
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+    cfg = get_config("hulc_debug")  # config only shapes the obs the expert ignores
+    run_dir = pathlib.Path(tempfile.mkdtemp(prefix="hulc_proto_expert_"))
+    eval_dir = run_dir / "evaluation"
+
+    pairs = chain_sampler.get_sequences(args.num_sequences, seed=0)
+    sequences = [chain for _, chain in pairs]
+    envs = [FakeCalvinEnv(interactive=True, seed=i) for i in range(args.num_envs)]
+    initial_states = chain_sampler.resets_for_env(pairs, envs[0])
+    embeddings = task_embeddings(cfg.lang_dim)
+    policy = ScriptedExpertPolicy(min(args.num_envs, len(sequences)), embeddings)
+
+    t0 = time.time()
+    results = evaluate_policy_batched(
+        cfg, None,
+        num_sequences=args.num_sequences,
+        num_envs=args.num_envs,
+        ep_len=args.ep_len,
+        oracle=SceneObsTasks(),
+        sequences=sequences,
+        lang_embeddings=embeddings,
+        epoch=0,
+        output_dir=eval_dir,
+        envs=envs,
+        policy=policy,
+        initial_states=initial_states,
+        num_videos=args.num_videos,
+        video_dir=eval_dir / "videos",
+    )
+    eval_s = time.time() - t0
+    results.pop("_policy", None)
+    r = results["0"]
+
+    plots_dir = run_dir / "plots"
+    plots_cli.main(["--results", str(eval_dir / "results.json"), "--out-dir", str(plots_dir)])
+
+    summary = {
+        "mode": "expert",
+        "num_sequences": args.num_sequences,
+        "ep_len": args.ep_len,
+        "num_envs": args.num_envs,
+        "eval_wall_s": round(eval_s, 1),
+        "eval_chains_per_min": round(args.num_sequences / eval_s * 60, 1),
+        "peak_host_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+        ),
+        "avg_seq_len": r["avg_seq_len"],
+        "chain_sr": r["chain_sr"],
+        "tasks_attempted": len(r["task_info"]),
+        "task_sr_mean": round(
+            float(np.mean([v[0] if isinstance(v, list) else v for v in r["task_sr"].values()])), 4
+        ),
+        "videos": len(sorted((eval_dir / "videos").glob("chain_*.npz"))),
+        "figures": sorted(f.name for f in plots_dir.glob("*.png")),
+        "run_dir": str(run_dir),
+    }
+    print("[protocol-expert] " + json.dumps(summary))
     pathlib.Path(args.out).write_text(json.dumps(summary, indent=1) + "\n")
     return summary
 
