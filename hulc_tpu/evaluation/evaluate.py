@@ -25,6 +25,10 @@ def _load_env_factory(spec):
 
 
 def main(argv=None):
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    compact_tunnel_journal()  # long eval loops retain all H2D otherwise; utils/tunnel.py
+
     p = argparse.ArgumentParser(description="hulc_tpu LH-MTLC evaluation")
     p.add_argument("--run-dir", required=True, help="training run dir with saved_models/")
     p.add_argument("--config", default="hulc")

@@ -142,6 +142,10 @@ def main(argv=None):
     # jax.distributed.initialize before any backend use
     import os
 
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    compact_tunnel_journal()  # before first backend use (utils/tunnel.py)
+
     coordinator = os.environ.get("HULC_TPU_COORDINATOR")
     if coordinator:
         from hulc_tpu.parallel.mesh import initialize_distributed

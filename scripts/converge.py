@@ -38,6 +38,10 @@ def read_metric(run_dir, prefix, key):
 
 
 def main(argv=None):
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    compact_tunnel_journal()  # see utils/tunnel.py (H2D journal retention)
+
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=16, help="per modality")

@@ -39,6 +39,10 @@ REAL_SPLIT_FRAMES = 512_000
 
 
 def main(argv=None):
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    compact_tunnel_journal()  # epoch-scale H2D would be journal-retained; utils/tunnel.py
+
     p = argparse.ArgumentParser()
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--episode-len", type=int, default=384)

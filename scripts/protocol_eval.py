@@ -27,6 +27,10 @@ import time
 
 
 def main(argv=None):
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    compact_tunnel_journal()  # 1000 chains ship ~60 GB H2D; see utils/tunnel.py
+
     p = argparse.ArgumentParser()
     p.add_argument("--run-dir", default=None, help="existing trained run (skips training)")
     p.add_argument("--fixture-dir", default=None, help="dataset dir (default: generate learnable fixture)")

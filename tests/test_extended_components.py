@@ -1,6 +1,8 @@
 """Extended component family: CLIP towers + tokenizer, tactile ResNet18,
 host transforms, language embedders, warm-start utility, config presets."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -438,3 +440,25 @@ def test_annotation_pool_split_selection(tmp_path):
         anns = annotate_play_data(store, window=16, stride=8, pool_split=split)
         for sentence, task, _ in anns:
             assert sentence in pool.get(task, [task.replace("_", " ")]), (split, task)
+
+
+def test_tunnel_journal_compact_env(monkeypatch):
+    """compact_tunnel_journal sets AXON_JOURNAL_COMPACT=1 before backend use,
+    never overrides an explicit user value, and honors the keep opt-out
+    (utils/tunnel.py — the measured +4.0 MB/dispatch H2D journal retention)."""
+    from hulc_tpu.utils.tunnel import compact_tunnel_journal
+
+    monkeypatch.delenv("AXON_JOURNAL_COMPACT", raising=False)
+    monkeypatch.delenv("HULC_TUNNEL_JOURNAL", raising=False)
+    assert compact_tunnel_journal() is True
+    assert os.environ["AXON_JOURNAL_COMPACT"] == "1"
+
+    # explicit user setting wins over the default
+    monkeypatch.setenv("AXON_JOURNAL_COMPACT", "0")
+    assert compact_tunnel_journal() is False
+
+    # opt-out leaves the env untouched
+    monkeypatch.delenv("AXON_JOURNAL_COMPACT", raising=False)
+    monkeypatch.setenv("HULC_TUNNEL_JOURNAL", "keep")
+    assert compact_tunnel_journal() is False
+    assert "AXON_JOURNAL_COMPACT" not in os.environ
