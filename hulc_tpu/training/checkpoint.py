@@ -37,6 +37,11 @@ def save_checkpoint(run_dir, epoch: int, state: Dict[str, Any]) -> pathlib.Path:
 
 
 def restore_checkpoint(path, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore into ``template``'s structure. Orbax casts each leaf to the
+    template's dtype, so a run checkpointed with f32 adam moments resumes
+    under ``adam_mv_dtype="bfloat16"`` (and back) — the knob changes
+    storage rounding only, so the cast is the faithful continuation
+    (pinned by test_resume_across_adam_mv_dtype)."""
     with ocp.StandardCheckpointer() as restorer:
         return restorer.restore(pathlib.Path(path).absolute(), template)
 

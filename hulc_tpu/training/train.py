@@ -91,6 +91,12 @@ def main(argv=None):
         help="reference conf/model/optimizer/*.yaml (adamw: wd 1e-6; sgd: momentum 0.9)",
     )
     p.add_argument(
+        "--adam-mv-dtype", default=None, choices=["float32", "bfloat16"],
+        help="storage dtype for adam moments (computed f32 either way; "
+        "bfloat16 halves two of the six optimizer HBM streams — measured "
+        "-0.79 ms on the bench step, STEP_EXPERIMENTS.json)",
+    )
+    p.add_argument(
         "--fsdp", action="store_true",
         help="ZeRO-3 param+optimizer sharding over the data axis",
     )
@@ -208,6 +214,7 @@ def main(argv=None):
         tp=args.tp,
         sp=args.sp,
         optimizer=args.optimizer,
+        adam_mv_dtype=args.adam_mv_dtype,
     )
     trainer = Trainer(cfg, tcfg)
     train_loader = make_loaders(

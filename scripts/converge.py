@@ -56,6 +56,9 @@ def main(argv=None):
                    "MAE 1.70/1.90 vs 1.33/1.34. Default stays at the "
                    "certified echo 1; raise it only as an explicit "
                    "wire-starvation tradeoff.")
+    p.add_argument("--adam-mv-dtype", default=None, choices=["float32", "bfloat16"],
+                   help="adam moment storage dtype passthrough (certification "
+                   "runs for the STEP_EXPERIMENTS.json byte-cutting knob)")
     p.add_argument("--run-dir", default=None)
     p.add_argument("--rollout-sequences", type=int, default=16)
     p.add_argument("--rollout-ep-len", type=int, default=45)
@@ -98,6 +101,8 @@ def main(argv=None):
         "--log-every", "4",
         "--checkpoint-every", "100",  # the --steps cap still saves at the end
     ]
+    if args.adam_mv_dtype:
+        train_args += ["--adam-mv-dtype", args.adam_mv_dtype]
     if not args.eval_only:
         train_cli.main(train_args)
     train_s = 0.0 if args.eval_only else time.time() - t0
@@ -146,6 +151,7 @@ def main(argv=None):
 
     summary = {
         "steps": args.steps,
+        "adam_mv_dtype": args.adam_mv_dtype or "float32",
         "train_s": round(train_s, 1),
         "total_loss": [round(loss0, 3), round(loss1, 3)],
         "clip_aux_loss": [round(clip0, 4), round(clip1, 4)],

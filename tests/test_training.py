@@ -60,6 +60,35 @@ def test_fit_and_resume(fixture_root, tmp_path):
     assert int(state2.step) == 3
 
 
+def test_resume_across_adam_mv_dtype(fixture_root, tmp_path):
+    """A run checkpointed with f32 adam moments must resume under
+    adam_mv_dtype="bfloat16" (and back): flipping the moment-storage knob
+    on an existing run dir casts the restored moments instead of failing
+    (the knob is a deployment tradeoff, not a new optimizer)."""
+    cfg = get_config("gcbc_debug")
+    run_dir = tmp_path / "run"
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+
+    t1 = Trainer(cfg, TrainerConfig(run_dir=str(run_dir), max_epochs=1, log_every=1000,
+                                    donate_state=False, num_devices=2))
+    state = t1.fit(loader, None, max_epochs=1, max_steps=2, resume=False)
+    assert int(state.step) == 2
+
+    t2 = Trainer(cfg, TrainerConfig(run_dir=str(run_dir), max_epochs=2, log_every=1000,
+                                    donate_state=False, num_devices=2,
+                                    adam_mv_dtype="bfloat16"))
+    state2 = t2.fit(loader, None, max_epochs=2, max_steps=1, resume=True)
+    assert int(state2.step) == 3
+    mus = [l for l in jax.tree.leaves(state2.opt_state) if l.dtype == jnp.bfloat16]
+    assert mus, "resumed opt_state should hold bf16 moment buffers"
+
+    # and back down: bf16-moments checkpoint resumed by an f32-moment trainer
+    t3 = Trainer(cfg, TrainerConfig(run_dir=str(run_dir), max_epochs=3, log_every=1000,
+                                    donate_state=False, num_devices=2))
+    state3 = t3.fit(loader, None, max_epochs=3, max_steps=1, resume=True)
+    assert int(state3.step) == 4
+
+
 def test_monitored_topk_checkpointing(tmp_path):
     """Top-k retention prunes the worst epochs, never the latest (resume),
     and best_checkpoint answers post-hoc queries from the metric journal."""
