@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge
+.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge moments-study
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -48,6 +48,9 @@ echo-quality:    ## data-echoing quality cost table (echo 1/4/16, same steps)
 
 echo-converge:   ## echo {1,8} x 2 seeds at CONVERGE scale (full-size flagship)
 	$(PY) scripts/echo_converge.py
+
+moments-study:   ## adam moment-dtype certification: same-seed f32 vs bf16 trajectories
+	$(PY) scripts/moments_study.py
 
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \

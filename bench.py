@@ -150,7 +150,14 @@ def main():
     batch_per_mod = 32  # per chip (the reference's per-device load)
     seq_len = 32
     cfg = get_config("hulc", compute_dtype="bfloat16")
-    tcfg = TrainerConfig(run_dir="/tmp/hulc_bench", donate_state=True)
+    # adam moments stored bf16 (computed f32): -0.79 ms on the HBM-bound
+    # step (STEP_EXPERIMENTS.json, saves 894 MB/step) and certified at
+    # training scale by the same-seed paired study in MOMENTS_STUDY.json
+    # (make moments-study: full-size HULC, identical data schedule, no
+    # trajectory bias). train.py keeps the f32 default for strict
+    # reference-adam semantics; this is the certified TPU-fast path.
+    tcfg = TrainerConfig(run_dir="/tmp/hulc_bench", donate_state=True,
+                         adam_mv_dtype="bfloat16")
     trainer = Trainer(cfg, tcfg)
     n_chips = len(trainer.mesh.devices.flat)
 

@@ -167,3 +167,44 @@ def test_interactive_marks_and_rollouts(scrub_session):
     assert "no embedding" in out  # graceful, not a KeyError crash
     out = s.handle("v")
     assert "saved" in out
+
+
+def test_moments_study_paired_divergence(tmp_path):
+    """scripts/moments_study.py pairing math: same-seed arms matched on
+    common logged steps, relative gap computed against the f32 arm."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from moments_study import paired_divergence, read_metric, smooth_tail
+
+    rows = [
+        {"mv_dtype": "float32", "seed": 42,
+         "loss_curve": {"0": 10.0, "8": 8.0, "16": 4.0},
+         "final_total_loss": 4.0, "final_val_mae": 1.0},
+        {"mv_dtype": "bfloat16", "seed": 42,
+         "loss_curve": {"0": 10.0, "8": 8.4, "24": 3.0},  # step 24 unmatched
+         "final_total_loss": 3.9, "final_val_mae": 1.1},
+        {"mv_dtype": "float32", "seed": 43,  # unpaired seed: skipped
+         "loss_curve": {"0": 9.0}, "final_total_loss": 9.0,
+         "final_val_mae": None},
+    ]
+    pairs = paired_divergence(rows, ["float32", "bfloat16"], [42, 43])
+    assert list(pairs) == ["42"]
+    p = pairs["42"]
+    assert p["matched_points"] == 2  # steps 0 and 8 only
+    assert p["max_rel_loss_diff"] == 0.05  # |8.0-8.4|/8.0
+    assert p["mean_rel_loss_diff"] == 0.025
+    assert p["final_loss"] == {"float32": 4.0, "bfloat16": 3.9}
+
+    # read_metric / smooth_tail on a real-format metrics.jsonl
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "metrics.jsonl").write_text(
+        '{"prefix": "train", "step": 0, "total_loss": 5.0}\n'
+        '{"prefix": "val", "step": 0, "vis_mae_pp": 2.0}\n'
+        '{"prefix": "train", "step": 8, "total_loss": 3.0}\n'
+    )
+    series = read_metric(run, "train", "total_loss")
+    assert series == [(0, 5.0), (8, 3.0)]
+    assert smooth_tail(series, k=1) == 3.0
+    assert smooth_tail(series, k=5) == 4.0
