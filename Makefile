@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge moments-study
+.PHONY: test bench smoke dryrun dryrun-fullsize dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge moments-study
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -17,6 +17,10 @@ dryrun:          ## multi-chip sharding dryrun on 8 virtual CPU devices
 	JAX_PLATFORMS= $(PY) -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	    import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
 	    from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+dryrun-fullsize: ## FULL-SIZE dp/fsdp/tp4/sp2 sharding parity (slow; receipt: FULLSIZE_DRYRUN_r05.txt)
+	HULC_DRYRUN_FULLSIZE=1 $(PY) -c "from __graft_entry__ import dryrun_multichip; \
+	    dryrun_multichip(8)" 2>&1 | tee FULLSIZE_DRYRUN_r05.txt
 
 dryrun-multihost: ## 2-process DCN dryrun (disjoint batch halves, loss parity)
 	$(PY) -c "from __graft_entry__ import dryrun_multihost; dryrun_multihost(2)"
