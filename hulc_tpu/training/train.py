@@ -91,10 +91,11 @@ def main(argv=None):
         help="reference conf/model/optimizer/*.yaml (adamw: wd 1e-6; sgd: momentum 0.9)",
     )
     p.add_argument(
-        "--adam-mv-dtype", default=None, choices=["float32", "bfloat16"],
+        "--adam-mv-dtype", default="bfloat16", choices=["float32", "bfloat16"],
         help="storage dtype for adam moments (computed f32 either way; "
-        "bfloat16 halves two of the six optimizer HBM streams — measured "
-        "-0.79 ms on the bench step, STEP_EXPERIMENTS.json)",
+        "bfloat16 — the default, certified by MOMENTS_STUDY.json — halves "
+        "two of the six optimizer HBM streams, -0.79 ms on the bench step; "
+        "float32 gives bit-exact reference-adam moment storage)",
     )
     p.add_argument(
         "--fsdp", action="store_true",

@@ -151,7 +151,7 @@ def main(argv=None):
 
     summary = {
         "steps": args.steps,
-        "adam_mv_dtype": args.adam_mv_dtype or "float32",
+        "adam_mv_dtype": args.adam_mv_dtype or "bfloat16",  # train.py shipping default (round 5)
         "train_s": round(train_s, 1),
         "total_loss": [round(loss0, 3), round(loss1, 3)],
         "clip_aux_loss": [round(clip0, 4), round(clip1, 4)],

@@ -94,6 +94,10 @@ def main(argv=None):
                              learnable=True)
 
     dtypes = args.dtypes.split(",")
+    if len(dtypes) != 2:
+        # paired_divergence compares exactly one pair; extra dtypes would be
+        # silently ignored in the paired analysis (ADVICE r4)
+        p.error(f"--dtypes must name exactly two dtypes, got {dtypes}")
     seeds = [int(s) for s in args.seeds.split(",")]
     rows = []
     for seed in seeds:
@@ -105,6 +109,15 @@ def main(argv=None):
                 print(f"[moments-study] reusing finished run {run_dir}")
                 train_s = 0.0
             else:
+                # a PARTIAL prior run would otherwise pollute the fresh
+                # trajectory: MetricLogger appends to metrics.jsonl, so the
+                # stale prefix would shadow initial_total_loss and mix
+                # hyperparameters (ADVICE r4) — start from a clean run dir
+                if run_dir.exists():
+                    import shutil
+
+                    print(f"[moments-study] clearing partial run {run_dir}")
+                    shutil.rmtree(run_dir)
                 train_cli.main([
                     "--config", "hulc", "--data-dir", str(fixture),
                     "--run-dir", str(run_dir), "--steps", str(args.steps),
@@ -120,6 +133,17 @@ def main(argv=None):
                 total = read_metric(run_dir, "train", "total_loss")
 
             val_mae = read_metric(run_dir, "val", "vis_mae_pp")
+            if not total:
+                # training died before the first log: report the partial
+                # result instead of crashing after hours of chip time
+                # (ADVICE r4)
+                print(f"[moments-study] WARNING: no train metrics in {run_dir}; "
+                      "flagging the row and continuing")
+                rows.append({"mv_dtype": dt, "seed": seed, "loss_curve": {},
+                             "final_total_loss": None, "initial_total_loss": None,
+                             "final_val_mae": None, "train_s": round(train_s, 1),
+                             "valid": False})
+                continue
             rows.append({
                 "mv_dtype": dt,
                 "seed": seed,

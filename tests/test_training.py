@@ -70,7 +70,8 @@ def test_resume_across_adam_mv_dtype(fixture_root, tmp_path):
     loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
 
     t1 = Trainer(cfg, TrainerConfig(run_dir=str(run_dir), max_epochs=1, log_every=1000,
-                                    donate_state=False, num_devices=2))
+                                    donate_state=False, num_devices=2,
+                                    adam_mv_dtype="float32"))
     state = t1.fit(loader, None, max_epochs=1, max_steps=2, resume=False)
     assert int(state.step) == 2
 
@@ -84,7 +85,8 @@ def test_resume_across_adam_mv_dtype(fixture_root, tmp_path):
 
     # and back down: bf16-moments checkpoint resumed by an f32-moment trainer
     t3 = Trainer(cfg, TrainerConfig(run_dir=str(run_dir), max_epochs=3, log_every=1000,
-                                    donate_state=False, num_devices=2))
+                                    donate_state=False, num_devices=2,
+                                    adam_mv_dtype="float32"))
     state3 = t3.fit(loader, None, max_epochs=3, max_steps=1, resume=True)
     assert int(state3.step) == 4
 
