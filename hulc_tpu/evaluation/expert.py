@@ -139,11 +139,32 @@ class _Lane:
 
 
 class ScriptedExpertPolicy:
-    """Batched scripted expert with the BatchedHulcPolicy driving surface."""
+    """Batched scripted expert with the BatchedHulcPolicy driving surface.
 
-    def __init__(self, num_envs: int, lang_embeddings: Dict[str, np.ndarray]):
+    ``action_cap``/``noise`` shape the CONTINUOUS action channels (pos+orn;
+    the discrete gripper channel is untouched) for demonstration collection:
+    the raw scripts emit bang-bang saturated commands (exactly +-1), which
+    are pathological training targets for the discretized-logistic head —
+    the edge bins' likelihood is one-sided, so mixture means drift unbounded
+    (found round 5: sampled z-actions of ~50 after training on saturated
+    data). Real CALVIN teleop rarely saturates; cap 0.85 keeps every target
+    interior to the act bounds and a small dither makes the data
+    proportional-control-like. Defaults (1.0, 0.0) preserve the pure
+    protocol-expert behavior."""
+
+    def __init__(
+        self,
+        num_envs: int,
+        lang_embeddings: Dict[str, np.ndarray],
+        action_cap: float = 1.0,
+        noise: float = 0.0,
+        seed: int = 0,
+    ):
         self.num_envs = num_envs
         self.replan_freq = 10**9  # replans only at subtask boundaries
+        self.action_cap = action_cap
+        self.noise = noise
+        self._rng = np.random.default_rng(seed)
         self._emb_to_task = {
             np.asarray(v, np.float32).tobytes(): t for t, v in lang_embeddings.items()
         }
@@ -178,6 +199,11 @@ class ScriptedExpertPolicy:
                         state[i].target_block = held  # already holding it
                     # door/light tasks carry it along (grip commands are 0)
             actions[i] = self._act(state[i], robot, scene)
+        if self.action_cap < 1.0 or self.noise > 0.0:
+            cont = actions[:, :6] * self.action_cap
+            if self.noise > 0.0:
+                cont = cont + self._rng.normal(0.0, self.noise, cont.shape)
+            actions[:, :6] = np.clip(cont, -self.action_cap, self.action_cap)
         return actions, state
 
     # ------------------------------------------------------------------

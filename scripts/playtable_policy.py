@@ -95,7 +95,9 @@ def collect_split(
     env = FakeCalvinEnv(static_px=static_px, gripper_px=gripper_px, interactive=True, seed=seed)
     oracle = SceneObsTasks()
     embeddings = task_embeddings(384)
-    expert = ScriptedExpertPolicy(1, embeddings)
+    # capped + dithered continuous actions: saturated bang-bang demos are
+    # pathological targets for the discretized-logistic head (expert.py)
+    expert = ScriptedExpertPolicy(1, embeddings, action_cap=0.85, noise=0.03, seed=seed)
     pairs = chain_sampler.get_sequences(num_chains, seed=seed)
 
     ranges, all_rob, all_scene = [], [], []
