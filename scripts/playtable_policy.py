@@ -119,6 +119,13 @@ def collect_split(
                 )
                 replan = False
                 action = actions[0]
+                if action[6] == 0.0:
+                    # the expert's grip=0 means "keep current state"; the
+                    # discrete gripper head only represents {-1, +1}
+                    # (CALVIN rel_actions[6] is always +-1), so record the
+                    # current state instead — sign(+-1) keeps it identically
+                    action = action.copy()
+                    action[6] = obs["robot_obs"][14] or 1.0
                 np.savez(
                     split_dir / EP_FMT.format(frame_idx),
                     rgb_static=obs["rgb_obs"]["rgb_static"],
