@@ -121,6 +121,17 @@ def main(argv=None):
         help="checkpoint every N epochs (a --steps-capped run always saves at the end)",
     )
     p.add_argument(
+        "--checkpoint-every-steps", type=int, default=None,
+        help="additionally checkpoint every N optimizer steps (long epochs "
+        "on a drop-prone tunnel otherwise lose the whole epoch on a drop)",
+    )
+    p.add_argument(
+        "--steps-total", type=int, default=None,
+        help="cap the CUMULATIVE step counter instead of per-invocation "
+        "steps: an elastic retry loop can relaunch the same command and "
+        "train only the remainder (supersedes --steps when set)",
+    )
+    p.add_argument(
         "--rollout", action="store_true",
         help="run the long-horizon rollout callback each val epoch (fake env "
         "unless --env-factory module:function is given)",
@@ -211,6 +222,7 @@ def main(argv=None):
         echo_factor=args.echo_factor,
         log_every=args.log_every,
         checkpoint_every_epochs=args.checkpoint_every,
+        checkpoint_every_steps=args.checkpoint_every_steps,
         fsdp=args.fsdp,
         tp=args.tp,
         sp=args.sp,
@@ -275,9 +287,10 @@ def main(argv=None):
         train_loader,
         val_loader,
         max_epochs=tcfg.max_epochs,
-        max_steps=args.steps,
+        max_steps=None if args.steps_total is not None else args.steps,
         resume=not args.no_resume,
         callbacks=callbacks,
+        max_total_steps=args.steps_total,
     )
     print(f"[train] done at step {int(state.step)}; checkpoints in {run_dir}/saved_models")
     return state

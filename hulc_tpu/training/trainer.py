@@ -60,6 +60,12 @@ class TrainerConfig:
     log_every: int = 50
     val_every_epochs: int = 1
     checkpoint_every_epochs: int = 1
+    # additionally checkpoint every N optimizer steps (None = epoch-only).
+    # Long epochs on a drop-prone tunnel otherwise lose the WHOLE epoch on a
+    # connection drop (found round 5: 4143-step epochs under
+    # AXON_JOURNAL_COMPACT, where a drop kills the process by design —
+    # utils/tunnel.py). Mid-epoch saves overwrite the current epoch key.
+    checkpoint_every_steps: Optional[int] = None
     num_devices: Optional[int] = None  # None -> all
     donate_state: bool = True
     # metric-monitored top-k checkpoint retention: a preset name from
@@ -307,7 +313,12 @@ class Trainer:
         max_steps: Optional[int] = None,
         resume: bool = True,
         callbacks: Optional[list] = None,
+        max_total_steps: Optional[int] = None,
     ) -> TrainState:
+        """max_steps caps steps run by THIS call (additive across resumes —
+        the semantics the resume tests pin); max_total_steps caps the
+        cumulative state.step counter instead, making elastic retry loops
+        idempotent: a relaunch after a crash trains only the remainder."""
         tcfg = self.tcfg
         steps_per_epoch = len(train_loader)
         example = next(iter(train_loader))
@@ -326,6 +337,16 @@ class Trainer:
                 )
                 start_epoch = ckpt.checkpoint_epoch(latest) + 1
                 print(f"[trainer] resumed from {latest} (epoch {start_epoch})")
+
+        base_step = int(state.step)  # one host sync, before the hot loop
+        if max_total_steps is not None and base_step >= max_total_steps:
+            print(f"[trainer] already at step {base_step} >= {max_total_steps}; nothing to do")
+            return state
+
+        def _hit_cap(total_steps: int) -> bool:
+            if max_steps is not None and total_steps >= max_steps:
+                return True
+            return max_total_steps is not None and base_step + total_steps >= max_total_steps
 
         if self._train_step is None:
             self._train_step = self.make_train_step()
@@ -354,7 +375,18 @@ class Trainer:
                     ):
                         jax.block_until_ready(losses["total_loss"])
                         jax.profiler.stop_trace()
-                    if max_steps is not None and total_steps >= max_steps:
+                    if (
+                        tcfg.checkpoint_every_steps
+                        and total_steps % tcfg.checkpoint_every_steps == 0
+                        and not _hit_cap(total_steps)  # end-of-run save below covers the cap
+                    ):
+                        self.checkpointer.save(
+                            epoch,
+                            {"params": state.params, "opt_state": state.opt_state,
+                             "step": int(state.step)},
+                            {},
+                        )
+                    if _hit_cap(total_steps):
                         break
                 if i % tcfg.log_every == 0:
                     losses = jax.device_get(losses)
@@ -367,7 +399,7 @@ class Trainer:
                         f"act={float(losses['action_loss']):.4f} "
                         f"kl={float(losses['kl_loss']):.5f}"
                     )
-                if max_steps is not None and total_steps >= max_steps:
+                if _hit_cap(total_steps):
                     break
             dt = time.time() - t_epoch
             self.logger.log(
@@ -393,7 +425,7 @@ class Trainer:
                     epoch_metrics.update(
                         {k: v for k, v in cb_metrics.items() if isinstance(v, (int, float))}
                     )
-            hit_max_steps = max_steps is not None and total_steps >= max_steps
+            hit_max_steps = _hit_cap(total_steps)
             if (
                 (epoch + 1) % tcfg.checkpoint_every_epochs == 0
                 or epoch == max_epochs - 1
