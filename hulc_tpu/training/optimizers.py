@@ -37,8 +37,13 @@ def scale_by_adam_lowp(
     mv_dtype = jnp.dtype(mv_dtype)
 
     def init_fn(params):
-        mu = jax.tree.map(lambda p: jnp.zeros(p.shape, mv_dtype), params)
-        nu = jax.tree.map(lambda p: jnp.zeros(p.shape, mv_dtype), params)
+        # zeros_like (not zeros) so each moment inherits the param's sharding:
+        # under fsdp/tp the params are NamedSharding-committed and the opt
+        # state must mirror that layout, or every adam update gathers the
+        # full moments onto one device (caught by test_training.py's
+        # fsdp/tp sharding asserts when bf16 moments became the default).
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mv_dtype), params)
+        nu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mv_dtype), params)
         return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
 
     def update_fn(updates, state, params=None):
