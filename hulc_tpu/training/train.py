@@ -117,6 +117,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--log-every", type=int, default=50, help="log every N loader batches")
     p.add_argument(
+        "--val-every-epochs", type=int, default=1,
+        help="run validation + per-epoch diagnostic callbacks every N epochs "
+        "(the final/step-capped epoch always evaluates)",
+    )
+    p.add_argument(
         "--checkpoint-every", type=int, default=1,
         help="checkpoint every N epochs (a --steps-capped run always saves at the end)",
     )
@@ -218,6 +223,7 @@ def main(argv=None):
         kl_schedule=KLSchedule(kind=args.kl_schedule),
         seed=args.seed,
         val_max_batches=args.val_max_batches,
+        val_every_epochs=args.val_every_epochs,
         checkpoint_policy=args.checkpoint_policy,
         echo_factor=args.echo_factor,
         log_every=args.log_every,

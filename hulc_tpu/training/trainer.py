@@ -416,16 +416,27 @@ class Trainer:
                 for k, v in jax.device_get(losses).items()
                 if getattr(v, "ndim", 0) == 0 or np.isscalar(v)
             }
-            if val_loader is not None and (epoch + 1) % tcfg.val_every_epochs == 0:
+            hit_max_steps = _hit_cap(total_steps)
+            # val + diagnostic callbacks share one cadence; a capped or final
+            # epoch always evaluates so the run ends with fresh val metrics
+            # (tiny-fixture studies at window 32 hit ~75 s/epoch of val +
+            # lang_gt H2D on the degraded tunnel wire — val-every-epochs > 1
+            # makes 500-step flagship-shape runs tractable on this rig)
+            val_epoch = (
+                (epoch + 1) % tcfg.val_every_epochs == 0
+                or epoch == max_epochs - 1
+                or hit_max_steps
+            )
+            if val_loader is not None and val_epoch:
                 val_mean = self.validate(state, val_loader, rng, kl_beta=kl_beta)
                 epoch_metrics.update({f"val/{k}": v for k, v in val_mean.items()})
-            for cb in callbacks or ():
-                cb_metrics = cb.on_epoch_end(self, state, epoch)
-                if isinstance(cb_metrics, dict):
-                    epoch_metrics.update(
-                        {k: v for k, v in cb_metrics.items() if isinstance(v, (int, float))}
-                    )
-            hit_max_steps = _hit_cap(total_steps)
+            if val_epoch:
+                for cb in callbacks or ():
+                    cb_metrics = cb.on_epoch_end(self, state, epoch)
+                    if isinstance(cb_metrics, dict):
+                        epoch_metrics.update(
+                            {k: v for k, v in cb_metrics.items() if isinstance(v, (int, float))}
+                        )
             if (
                 (epoch + 1) % tcfg.checkpoint_every_epochs == 0
                 or epoch == max_epochs - 1

@@ -65,8 +65,9 @@ def main(argv=None):
     work.mkdir(parents=True, exist_ok=True)
     fixture = work / "fixture"
     if not (fixture / "training" / "ep_start_end_ids.npy").exists():
-        make_fixture_dataset(fixture, num_episodes=4, episode_len=96, small=False,
-                             learnable=True)
+        # sized for flagship shapes (window 32): see scripts/moments_study.py
+        make_fixture_dataset(fixture, num_episodes=16, episode_len=160,
+                             small=False, learnable=True)
 
     echos = [int(e) for e in args.echos.split(",")]
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -88,6 +89,7 @@ def main(argv=None):
                     "--bf16", "--lr", str(args.lr), "--echo-factor", str(echo),
                     "--cache", "ram", "--no-resume", "--seed", str(seed),
                     "--val-max-batches", "2", "--log-every", "8",
+                    "--val-every-epochs", "4",
                     "--checkpoint-every", "100",
                 ])
                 train_s = time.time() - t0

@@ -90,8 +90,11 @@ def main(argv=None):
     work.mkdir(parents=True, exist_ok=True)
     fixture = work / "fixture"
     if not (fixture / "training" / "ep_start_end_ids.npy").exists():
-        make_fixture_dataset(fixture, num_episodes=4, episode_len=96, small=False,
-                             learnable=True)
+        # sized so flagship shapes (window 32, batch 32+32) get ~32 steps per
+        # epoch: per-epoch val + lang_gt H2D costs ~75 s on the degraded
+        # tunnel wire, so short epochs made 500-step runs intractable
+        make_fixture_dataset(fixture, num_episodes=16, episode_len=160,
+                             small=False, learnable=True)
 
     dtypes = args.dtypes.split(",")
     if len(dtypes) != 2:
@@ -127,6 +130,7 @@ def main(argv=None):
                     "--adam-mv-dtype", dt,
                     "--cache", "ram", "--no-resume", "--seed", str(seed),
                     "--val-max-batches", "2", "--log-every", "8",
+                    "--val-every-epochs", "4",
                     "--checkpoint-every", str(args.steps),
                 ])
                 train_s = time.time() - t0
