@@ -1,7 +1,7 @@
 # hulc_tpu common workflows
 PY := PYTHONPATH=$(CURDIR):$$PYTHONPATH python
 
-.PHONY: test bench smoke dryrun dryrun-fullsize dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge moments-study
+.PHONY: test bench smoke dryrun dryrun-fullsize dryrun-multihost native eval-smoke profile annotate-smoke shm-scale converge echo-quality fetch-demo protocol-eval protocol-expert epoch-scale echo-converge moments-study protocol-policy
 
 test:            ## full suite (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -50,11 +50,16 @@ epoch-scale:     ## multi-GB split + full-epoch loader->preprocess->device measu
 echo-quality:    ## data-echoing quality cost table (echo 1/4/16, same steps)
 	$(PY) scripts/echo_quality.py
 
-echo-converge:   ## echo {1,8} x 2 seeds at CONVERGE scale (full-size flagship)
-	$(PY) scripts/echo_converge.py
+echo-converge:   ## echo {1,8} x 2 seeds at FLAGSHIP shapes (batch 32+32, window 32)
+	$(PY) scripts/echo_converge.py --steps 500 --batch-size 32 --window 32 \
+	    --work-dir /tmp/hulc_echo_flagship
 
-moments-study:   ## adam moment-dtype certification: same-seed f32 vs bf16 trajectories
-	$(PY) scripts/moments_study.py
+moments-study:   ## adam moment-dtype certification at FLAGSHIP shapes (same-seed f32 vs bf16)
+	$(PY) scripts/moments_study.py --steps 500 --batch-size 32 --window 32 \
+	    --work-dir /tmp/hulc_moments_flagship
+
+protocol-policy: ## learn-to-succeed loop: expert play data -> train -> 1000-chain protocol
+	$(PY) scripts/playtable_policy.py all --root /tmp/playtable --chains 300 --steps 6000
 
 eval-smoke:      ## batched LH-MTLC smoke on the fake env
 	$(PY) -m hulc_tpu.evaluation.evaluate --run-dir /tmp/hulc_smoke \
