@@ -60,6 +60,38 @@ def test_fit_and_resume(fixture_root, tmp_path):
     assert int(state2.step) == 3
 
 
+def test_val_every_epochs_cadence(fixture_root, tmp_path):
+    """Diagnostic callbacks (and validation) run on the val_every_epochs
+    cadence, and a final or step-capped epoch always evaluates — the knob
+    that makes flagship-shape studies tractable on wire-bound rigs."""
+    cfg = get_config("gcbc_debug")
+    loader = make_loaders(cfg, fixture_root, batch_size=2, min_window=8, max_window=8, cache="none")
+
+    class CountingCallback:
+        def __init__(self):
+            self.epochs = []
+
+        def on_epoch_end(self, trainer, state, epoch):
+            self.epochs.append(epoch)
+            return {}
+
+    cb = CountingCallback()
+    t = Trainer(cfg, TrainerConfig(run_dir=str(tmp_path / "r1"), max_epochs=4,
+                                   log_every=1000, donate_state=False,
+                                   num_devices=2, val_every_epochs=2))
+    t.fit(loader, None, max_epochs=4, resume=False, callbacks=[cb])
+    # full epochs 0..3 at cadence 2 -> callbacks fire on epochs 1 and 3
+    assert cb.epochs == [1, 3], cb.epochs
+
+    # a step-capped run always evaluates on its last epoch even off-cadence
+    cb2 = CountingCallback()
+    t2 = Trainer(cfg, TrainerConfig(run_dir=str(tmp_path / "r2"), max_epochs=100,
+                                    log_every=1000, donate_state=False,
+                                    num_devices=2, val_every_epochs=50))
+    t2.fit(loader, None, max_epochs=100, max_steps=1, resume=False, callbacks=[cb2])
+    assert cb2.epochs == [0], cb2.epochs
+
+
 def test_resume_across_adam_mv_dtype(fixture_root, tmp_path):
     """A run checkpointed with f32 adam moments must resume under
     adam_mv_dtype="bfloat16" (and back): flipping the moment-storage knob
