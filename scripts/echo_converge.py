@@ -77,10 +77,21 @@ def main(argv=None):
             run_dir = work / f"echo{echo}_seed{seed}"
             total = read_metric(run_dir, "train", "total_loss")
             t0 = time.time()
-            if total and total[-1][0] >= args.steps - 1:
+            # the trainer logs every 8 loader batches (--log-every 8 below),
+            # so a finished run's last metrics row is up to 8 steps shy of
+            # the cap — requiring steps-1 made reuse NEVER fire and a crashed
+            # study re-trained its finished arms from scratch on restart
+            if total and total[-1][0] >= args.steps - 8:
                 print(f"[echo-converge] reusing finished run {run_dir}")
                 train_s = 0.0
             else:
+                if run_dir.exists():
+                    # a PARTIAL run would append to metrics.jsonl under
+                    # --no-resume and pollute the trajectory (ADVICE r4)
+                    import shutil
+
+                    print(f"[echo-converge] clearing partial run {run_dir}")
+                    shutil.rmtree(run_dir)
                 train_cli.main([
                     "--config", "hulc", "--data-dir", str(fixture),
                     "--run-dir", str(run_dir), "--steps", str(args.steps),

@@ -108,7 +108,9 @@ def main(argv=None):
             run_dir = work / f"mv_{dt}_seed{seed}"
             total = read_metric(run_dir, "train", "total_loss")
             t0 = time.time()
-            if total and total[-1][0] >= args.steps - 1:
+            # last logged row can trail the cap by the --log-every cadence
+            # (8): steps-1 made reuse never fire (see echo_converge.py)
+            if total and total[-1][0] >= args.steps - 8:
                 print(f"[moments-study] reusing finished run {run_dir}")
                 train_s = 0.0
             else:
